@@ -1,0 +1,52 @@
+"""Event deduplication and per-key last-writer-wins ordering (D1, §2.4).
+
+Reference: a bounded 10k-entry LRU keyed by ``tableId:op:ts_ns:rowKey``
+(CockroachDBStreamingChangeEventSource.java:85-104, createEventId :882-893).
+The identity MUST include the message key (two rows of one transaction share
+``ts_ns`` — dbz#2283) and the table id (same-named tables across schemas).
+
+Spark-first re-expression:
+  * exact-duplicate drop = ``dropDuplicates`` on the same identity tuple —
+    unbounded-safe because it is batch-local (idempotent MERGE handles
+    cross-batch replays, so no 10k-LRU memory bound is needed at all);
+  * per-key ordering = an **arg-max aggregation**, not a window sort:
+    ``groupBy(pk).agg(max(struct(ordering..., payload)))`` gets map-side
+    partial aggregation (each input partition reduces its own hot keys
+    before the shuffle), so a key with 10^6 updates ships ~#partitions rows
+    instead of 10^6 — this is the hot-key-skew story at 10^10 events.
+    A window ``row_number()`` would shuffle and sort every row.
+
+Ordering key: (commit_wall_ns, commit_logical, seq) — HLC order with the
+log offset as tie-break, matching the reference's arrival-order application
+of same-HLC delete+insert sequences (FIXTURES.md scenario 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EVENT_IDENTITY = ["table_name", "op", "commit_wall_ns", "commit_logical", "pk"]
+ORDERING = ["commit_wall_ns", "commit_logical", "seq"]
+
+
+def drop_duplicate_events(df: DataFrame) -> DataFrame:
+    """Exact redelivery drop (at-least-once upstream → effectively-once)."""
+    return df.dropDuplicates(EVENT_IDENTITY)
+
+
+def last_writer_wins(df: DataFrame, pk_col: str = "pk") -> DataFrame:
+    """One surviving event per key: max (commit_wall_ns, commit_logical,
+    seq). Returns the original column layout, one row per key."""
+    payload_cols = [c for c in df.columns if c != pk_col]
+    packed = F.struct(*[F.col(c) for c in ORDERING], *[F.col(c) for c in payload_cols if c not in ORDERING])
+    winner = df.groupBy(pk_col).agg(F.max(packed).alias("_w"))
+    out_cols = [F.col(pk_col)] + [F.col(f"_w.{c}").alias(c) for c in ORDERING] + [
+        F.col(f"_w.{c}").alias(c) for c in payload_cols if c not in ORDERING
+    ]
+    return winner.select(*out_cols).select(*df.columns)
+
+
+def dedupe_batch(df: DataFrame, pk_col: str = "pk") -> DataFrame:
+    """Full batch-local dedup: identity drop then last-writer-wins."""
+    return last_writer_wins(drop_duplicate_events(df), pk_col)

@@ -1,0 +1,98 @@
+"""Text-analysis operators for training-data pipelines over the
+``documents`` table: token counting, quality scoring, language ID,
+document fingerprinting.
+
+Design: pure JVM Column expressions (codegen'd, shuffle-free, trivially
+scale to 100 TB — they are map-only over the scan). Every operator is
+deliberately expressible in ANSI SQL so the DuckDB oracle can verify it
+value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword lists per language — enough signal for an
+# n-gram/stopword-ratio language heuristic; counts are exact integer math
+# so the SQL oracle reproduces them bit-for-bit
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to "],
+    "de": [" der ", " und ", " die ", " das "],
+    "fr": [" le ", " la ", " et ", " les "],
+    "es": [" el ", " los ", " que ", " y "],
+}
+
+
+def occurrence_count(text: Column, needle: str) -> Column:
+    """# of (possibly overlapping-adjacent) occurrences via length delta."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) / F.lit(len(needle))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokenization count (the cheap n_tok estimator)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("int")
+
+
+def word_char_ratio(text: Column) -> Column:
+    """Share of [a-zA-Z0-9 ] characters — a quality-score component."""
+    kept = F.length(F.regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+    return F.round(kept / F.greatest(F.length(text), F.lit(1)), 4)
+
+
+def mean_token_len(text: Column) -> Column:
+    t = F.trim(text)
+    n = token_count(text)
+    letters = F.length(F.regexp_replace(t, r"\s+", ""))
+    return F.round(letters / F.greatest(n, F.lit(1)), 4)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: word-char ratio damped by
+    degenerate token lengths (too-short/too-long average tokens are
+    boilerplate/code smells). Deterministic, SQL-oracle-able."""
+    mtl = mean_token_len(text)
+    len_ok = F.when((mtl >= 3) & (mtl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(word_char_ratio(text) * len_ok, 4)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return {
+        lang: sum((occurrence_count(padded, m) for m in markers), F.lit(0.0)).cast("int")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by stopword hits; 'und' (undetermined) when no
+    marker fires. Ties break by the fixed language order."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best <= 0, F.lit("und")).otherwise(out)
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical document fingerprint: md5 of the whitespace-normalized,
+    lower-cased text — the exact-dedup key that survives formatting noise."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass text-analysis projection over a documents table."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        word_char_ratio(t).alias("word_char_ratio"),
+        mean_token_len(t).alias("mean_token_len"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,222 @@
+"""Deduplication operators for training-data pipelines over ``documents``:
+exact, n-gram Jaccard, MinHash + LSH, SimHash, embedding-cosine near-dup.
+
+Scale design notes (the part that matters at 100 TB):
+
+* **exact** — one hash-groupBy; map-side partial agg, single shuffle on the
+  16-byte fingerprint. No pairwise anything.
+* **ngram-jaccard** — the naive doc×doc cross join is quadratic and dead on
+  arrival; instead shingles are exploded (|D|·|shingles| rows), *document-
+  frequency-filtered* (a shingle appearing in > max_df docs carries no
+  discriminative signal and would fan the self-join out quadratically),
+  then self-joined on the shingle. Pair candidates are bounded by
+  Σ df(s)² over rare shingles — linear-ish in practice.
+* **minhash-lsh** — k permutation-free universal hashes over 48-bit md5
+  shingle hashes (portable to the SQL oracle, see functions/hashing.py);
+  bands of r rows bucket-join candidates, exact Jaccard re-verifies. All
+  shuffles key on (band, signature-slice) — uniform by construction.
+* **simhash** — 48-bit sign-aggregated token hashes; near-dups share the
+  fingerprint (Hamming ≤ k via band rotation left as a later round).
+* **embedding cosine** — see similarity.py; near-dup = cos ≥ threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MINHASH_A, MINHASH_B, MINHASH_P, md5_48
+from .text import fingerprint
+
+
+# ---------------- exact dedup ----------------
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (whitespace/case-normalized) documents:
+    one row per duplicated fingerprint with the keeper (min id) and the
+    group size."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated corpus: keeps the min-id representative per
+    fingerprint. Window-free: arg-min aggregation gets map-side combine."""
+    keep = (
+        df.select(F.col(id_col).alias("_id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("_id").alias("keep_id"))
+    )
+    return df.join(keep, on=df[id_col] == keep["keep_id"], how="inner").drop("fp", "keep_id")
+
+
+# ---------------- shingling ----------------
+
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Distinct character n-grams of the normalized text (JVM-side:
+    sequence + transform + array_distinct; no UDF)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    length = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(length - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(n))))
+
+
+def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5) -> DataFrame:
+    """(doc_id, shingle) exploded — the normalized form every similarity
+    operator shares."""
+    return df.select(
+        F.col(id_col), F.explode(char_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+# ---------------- exact n-gram Jaccard ----------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 5,
+    max_df: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document pairs with Jaccard(shingles) ≥ threshold.
+
+    ``max_df`` drops ubiquitous shingles before the self-join (document-
+    frequency blocking): without it a stop-shingle present in d docs fans
+    out d²/2 candidate rows. Jaccard is computed on the FULL shingle sets
+    (sizes counted before filtering), so the threshold semantics are exact;
+    only *candidate generation* is blocked — a pair sharing nothing but
+    ubiquitous shingles can be missed by design (at ≥0.8 similarity real
+    near-dups always share rare shingles too)."""
+    sh = shingle_table(df, text_col, id_col, n).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle")
+
+    a = rare.select(F.col(id_col).alias("id_a"), "shingle")
+    b = rare.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "size_a", "size_b", "jaccard")
+    )
+    return out
+
+
+# ---------------- MinHash + LSH ----------------
+
+def minhash_signatures(
+    df: DataFrame, k: int = 16, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """k-wide MinHash signature per doc: min over shingles of
+    (a_j·h48(shingle)+b_j) mod p. One explode + one groupBy with k mins —
+    map-side combinable, single shuffle on doc_id."""
+    sh = shingle_table(df, text_col, id_col, n)
+    h = md5_48(F.col("shingle"))
+    mins = [
+        F.min((h * F.lit(MINHASH_A[j]) + F.lit(MINHASH_B[j])) % F.lit(MINHASH_P)).alias(f"mh{j}")
+        for j in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs via banded LSH over MinHash signatures, scored by
+    signature agreement (estimated Jaccard = matching minhashes / k).
+    bands·rows = k; a pair is a candidate if ANY band matches fully."""
+    assert k % bands == 0
+    rows = k // bands
+    sig = minhash_signatures(df, k, n, text_col, id_col).persist()
+
+    band_cols = [
+        F.struct(F.lit(b).alias("band"), *[F.col(f"mh{b * rows + r}").alias(f"v{r}") for r in range(rows)]).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
+    a = buckets.select(F.col(id_col).alias("id_a"), "bk")
+    b = buckets.select(F.col(id_col).alias("id_b"), "bk")
+    cand = (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(k)])
+    sb = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(k)])
+    agree = sum(
+        (F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(k)), F.lit(0)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(agree / F.lit(k), 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------- SimHash ----------------
+
+def simhash(df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc SimHash over word tokens: for each bit, sign of Σ±1 across
+    token hashes. explode → groupBy(doc) with `bits` conditional sums —
+    one shuffle, map-side combinable; fingerprint assembled bit-by-bit with
+    exact integer math (oracle-portable)."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")).alias("w"),
+    ).filter(F.length("w") > 0)
+    h = md5_48(F.col("w"))
+    sums = [
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = words.groupBy(id_col).agg(*sums)
+    fp = sum(
+        (
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+            for b in range(bits)
+        ),
+        F.lit(0).cast("long"),
+    )
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_duplicates(df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-fingerprint SimHash collisions (Hamming distance 0)."""
+    return (
+        simhash(df, bits, text_col, id_col)
+        .groupBy("simhash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,306 @@
+"""The CDC ingest pipeline (SURVEY.md §3 Spark mapping).
+
+Reference lifecycle (CockroachDBConnectorTask.start → coordinator →
+snapshot source → streaming source → dispatcher → queue → poll,
+CockroachDBConnectorTask.java:79-189): here a snapshot *batch* phase
+(initial scan, op='r' — W4) followed by a checkpointed Structured Streaming
+phase whose every micro-batch runs:
+
+    parse (one from_json pass)                         [P1 P2 C1-C15 D2]
+    → drift check + schema evolution                    [E1 E2 E3]
+    → control/data split, frontier advance              [F1 F2 W1 W3]
+    → identity dedup + per-key last-writer-wins         [D1]
+    → bucket-pruned MERGE with commit-ts guard          [§2.5, W5]
+    → lineage/metrics row                               [§2.6]
+
+Exactly-once = checkpointed source offsets (W2) + batch_key idempotence in
+the snapshot table + the commit-ts merge guard; re-running any micro-batch
+yields byte-identical table state.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.converters import ColumnSpec, spark_output_type
+from ..functions.hlc import hlc_logical, hlc_string, hlc_wall_ns
+from ..operators.dedup import dedupe_batch
+from ..sources.envelope import RAW_LOG_SCHEMA, parse_changefeed, raw_json_field_names
+from ..sources.lake import SnapshotTable
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.LongType(), False),
+        T.StructField("phase", T.StringType(), False),
+        T.StructField("table_version", T.LongType(), True),
+        T.StructField("n_raw", T.LongType(), True),
+        T.StructField("n_control", T.LongType(), True),
+        T.StructField("n_data", T.LongType(), True),
+        T.StructField("n_malformed", T.LongType(), True),
+        T.StructField("n_keyless", T.LongType(), True),
+        T.StructField("n_updates", T.LongType(), True),
+        T.StructField("min_seq", T.LongType(), True),
+        T.StructField("max_seq", T.LongType(), True),
+        T.StructField("inserted", T.LongType(), True),
+        T.StructField("updated", T.LongType(), True),
+        T.StructField("deleted", T.LongType(), True),
+        T.StructField("stale_or_kept", T.LongType(), True),
+        T.StructField("touched_buckets", T.LongType(), True),
+        T.StructField("frontier_hlc", T.StringType(), True),
+        T.StructField("skipped_replay", T.BooleanType(), True),
+        T.StructField("wall_ms", T.DoubleType(), True),
+        T.StructField("committed_at", T.DoubleType(), True),
+    ]
+)
+
+SNAPSHOT_MODES = {"initial", "always", "never", "no_data", "initial_only", "when_needed"}
+
+
+@dataclass
+class IngestConfig:
+    """Connector-config analogue (CockroachDBConnectorConfig). Only the
+    knobs that drive dataflow decisions are modeled; Kafka security/TLS
+    passthrough (X6) is source-option passthrough in Spark and needs no
+    code."""
+
+    log_dir: str
+    table_path: str
+    pk_name: str = "doc_id"
+    metrics_path: str | None = None
+    checkpoint_dir: str | None = None
+    num_buckets: int = 16
+    snapshot_mode: str = "initial"  # CockroachDBConnectorConfig.java:561-656
+    max_files_per_trigger: int | None = None
+    snapshot_wall_ns: int = 0  # commit-ts assigned to op='r' backfill rows
+    collect_metrics: bool = True
+    broadcast_threshold: int = 2_000_000
+    errors_path: str | None = None  # dead-letter quarantine for poison events (X3)
+
+    def __post_init__(self) -> None:
+        if self.snapshot_mode not in SNAPSHOT_MODES:
+            raise ValueError(f"unknown snapshot.mode {self.snapshot_mode!r}")
+
+
+def load_registry_specs(log_dir: str) -> tuple[int, list[ColumnSpec]]:
+    """Latest schema descriptor from the log's ``_schema`` registry — the
+    information_schema re-read analogue (CockroachDBSchema.java:62-89)."""
+    files = sorted(glob.glob(os.path.join(log_dir, "_schema", "v*.json")))
+    if not files:
+        raise FileNotFoundError(f"no schema registry under {log_dir}/_schema")
+    with open(files[-1]) as f:
+        doc = json.load(f)
+    specs = [ColumnSpec(c["name"], c["crdb_type"], nullable=c.get("nullable", True)) for c in doc["columns"]]
+    return doc["version"], specs
+
+
+def user_schema(specs: list[ColumnSpec]) -> T.StructType:
+    return T.StructType([T.StructField(s.name, spark_output_type(s), True) for s in specs])
+
+
+class CDCPipeline:
+    def __init__(self, spark: SparkSession, cfg: IngestConfig):
+        self.spark = spark
+        self.cfg = cfg
+        self.registry_version, self.specs = load_registry_specs(cfg.log_dir)
+        if SnapshotTable.exists(cfg.table_path):
+            self.table = SnapshotTable.load(cfg.table_path)
+        else:
+            self.table = SnapshotTable.create(
+                cfg.table_path, user_schema(self.specs), cfg.pk_name, cfg.num_buckets
+            )
+
+    # ------------- snapshot phase (W4) -------------
+
+    def run_snapshot(self, seed_df: DataFrame | None) -> dict[str, Any] | None:
+        """Initial scan: the reference delegates the snapshot to the
+        changefeed's ``initial_scan`` option and marks every backfill row
+        op='r' (D3). Mode → action per
+        getInitialScanForSnapshotMode (CockroachDBConnectorConfig.java:1208-1226)."""
+        mode = self.cfg.snapshot_mode
+        already = "snapshot" in self.table.meta["applied"]
+        if mode in ("never", "no_data"):
+            return None
+        if mode in ("initial", "when_needed", "initial_only") and already:
+            return None
+        if seed_df is None:
+            return None
+        key = "snapshot" if mode != "always" else f"snapshot:{self.table.meta['version']}"
+        updates = seed_df.select(
+            *[F.col(f.name) for f in self.table.schema.fields if f.name in seed_df.columns],
+            F.lit("r").alias("op"),
+            F.lit(self.cfg.snapshot_wall_ns).cast("long").alias("commit_wall_ns"),
+            F.lit(0).cast("long").alias("commit_logical"),
+            F.lit(-1).cast("long").alias("seq"),
+        )
+        updates = _align_updates(updates, self.table.schema)
+        t0 = time.time()
+        stats = self.table.merge(
+            self.spark, updates, key, broadcast_threshold=self.cfg.broadcast_threshold
+        )
+        self._write_metrics(-1, "snapshot", stats, extra={"wall_ms": (time.time() - t0) * 1e3})
+        return stats
+
+    # ------------- micro-batch apply -------------
+
+    def process_batch(self, raw: DataFrame, batch_id: int) -> dict[str, Any]:
+        t0 = time.time()
+        self._maybe_evolve(raw)
+
+        parsed = parse_changefeed(raw, self.specs, self.cfg.pk_name)
+        agg = parsed.agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.when(F.col("is_control"), 1).otherwise(0)).alias("n_control"),
+            F.sum(F.when(F.col("is_malformed"), 1).otherwise(0)).alias("n_malformed"),
+            F.sum(F.when(~F.col("is_control") & F.col("pk").isNull(), 1).otherwise(0)).alias("n_keyless"),
+            F.min("seq").alias("min_seq"),
+            F.max("seq").alias("max_seq"),
+            F.max(
+                F.when(
+                    F.col("resolved").isNotNull(),
+                    F.struct(hlc_wall_ns(F.col("resolved")).alias("w"), hlc_logical(F.col("resolved")).alias("l")),
+                )
+            ).alias("fr"),
+        ).collect()[0]
+        frontier = None
+        if agg["fr"] is not None:
+            frontier = f"{agg['fr']['w']}.{agg['fr']['l']:010d}"
+
+        # quarantine poison records instead of killing the stream (X3 —
+        # reference classifies parse errors as retriable; replaying a
+        # malformed byte stream never heals, so a dead-letter table is the
+        # distributed-sane equivalent)
+        if self.cfg.errors_path and (agg["n_malformed"] or 0) > 0:
+            bad_seqs = parsed.filter(F.col("is_malformed")).select(F.col("seq").alias("offset"))
+            raw.join(bad_seqs, "offset", "left_semi").withColumn(
+                "batch_id", F.lit(batch_id)
+            ).write.mode("append").parquet(self.cfg.errors_path)
+
+        # keyless rows (no after image, no usable message key) can never be
+        # merged — they are dropped and surfaced via metrics
+        data = parsed.filter(~F.col("is_control") & F.col("pk").isNotNull())
+        deduped = dedupe_batch(data, "pk")
+        updates = self._to_updates(deduped)
+        stats = self.table.merge(
+            self.spark,
+            updates,
+            batch_key=f"stream:{batch_id}",
+            frontier_hlc=frontier,
+            broadcast_threshold=self.cfg.broadcast_threshold,
+        )
+        stats.update(
+            n_raw=int(agg["n_raw"]), n_control=int(agg["n_control"] or 0),
+            n_data=int(agg["n_raw"]) - int(agg["n_control"] or 0),
+            n_malformed=int(agg["n_malformed"] or 0), n_keyless=int(agg["n_keyless"] or 0),
+            min_seq=agg["min_seq"], max_seq=agg["max_seq"], frontier_hlc=frontier,
+        )
+        self._write_metrics(batch_id, "stream", stats, extra={"wall_ms": (time.time() - t0) * 1e3})
+        return stats
+
+    def _to_updates(self, deduped: DataFrame) -> DataFrame:
+        """Winner events → merge-ready update rows (pk column always
+        non-null: deletes recover it from the message key — dbz#2267,
+        CockroachDBRegressionScenariosIT.java:104-137)."""
+        pk = self.cfg.pk_name
+        after_fields = {f.name for f in deduped.schema["after"].dataType.fields}
+        cols = []
+        for f in self.table.schema.fields:
+            if f.name == pk:
+                cols.append(F.coalesce(F.col(f"after.{pk}").cast(f.dataType), F.col("pk").cast(f.dataType)).alias(pk))
+            else:
+                src = F.col(f"after.{f.name}") if f.name in after_fields else F.lit(None)
+                cols.append(src.cast(f.dataType).alias(f.name))
+        return deduped.select(*cols, "op", "commit_wall_ns", "commit_logical", "seq")
+
+    def _maybe_evolve(self, raw: DataFrame) -> None:
+        """E1/E2: compare incoming after-image field names against the
+        registered schema once per micro-batch (driver-side — the
+        structural win over the reference's per-event check, §4). Deletes
+        never trigger a refresh: they have no after image
+        (…StreamingChangeEventSource.java:826-835)."""
+        known = {f.name for f in self.table.schema.fields}
+        incoming = set(raw_json_field_names(raw, "after"))
+        if incoming and not incoming.issubset(known):
+            ver, specs = load_registry_specs(self.cfg.log_dir)
+            new_schema = user_schema(specs)
+            if not incoming.issubset({f.name for f in new_schema.fields}):
+                # registry doesn't know the field either → retriable failure;
+                # the batch replays (E2 fail-retriable, dbz#2322)
+                raise RuntimeError(
+                    f"schema drift: fields {sorted(incoming - known)} not in registry v{ver}"
+                )
+            self.specs = specs
+            self.registry_version = ver
+            self.table.evolve_schema(new_schema)
+
+    # ------------- streaming driver (W2, W3) -------------
+
+    def start_stream(self, available_now: bool = True, trigger_seconds: float | None = None):
+        if not self.cfg.checkpoint_dir:
+            raise ValueError("checkpoint_dir required for streaming")
+        reader = self.spark.readStream.schema(RAW_LOG_SCHEMA)
+        if self.cfg.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.cfg.max_files_per_trigger)
+        stream = reader.parquet(self.cfg.log_dir)
+
+        def apply(df: DataFrame, batch_id: int) -> None:
+            self.process_batch(df, batch_id)
+
+        writer = stream.writeStream.foreachBatch(apply).option(
+            "checkpointLocation", self.cfg.checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_seconds:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        return writer.start()
+
+    def run_to_completion(self, seed_df: DataFrame | None = None) -> None:
+        """Snapshot phase then drain the log (the task-start wiring, X7)."""
+        self.run_snapshot(seed_df)
+        if self.cfg.snapshot_mode == "initial_only":
+            return  # …StreamingChangeEventSource.java:584-589 stop-after-scan
+        q = self.start_stream(available_now=True)
+        q.awaitTermination()
+
+    # ------------- lineage (§2.6 aggregations) -------------
+
+    def _write_metrics(self, batch_id: int, phase: str, stats: dict[str, Any], extra: dict[str, Any]) -> None:
+        if not (self.cfg.collect_metrics and self.cfg.metrics_path):
+            return
+        row = {f.name: None for f in METRICS_SCHEMA.fields}
+        row.update(batch_id=batch_id, phase=phase, committed_at=time.time())
+        row["table_version"] = stats.get("version")
+        row["skipped_replay"] = bool(stats.get("skipped", False))
+        for k in ("n_raw", "n_control", "n_data", "n_malformed", "n_keyless", "n_updates", "min_seq", "max_seq",
+                  "inserted", "updated", "deleted", "stale_or_kept", "touched_buckets"):
+            if stats.get(k) is not None:
+                row[k] = int(stats[k])
+        row["frontier_hlc"] = stats.get("frontier_hlc")
+        row["wall_ms"] = extra.get("wall_ms")
+        self.spark.createDataFrame([row], METRICS_SCHEMA).coalesce(1).write.mode("append").parquet(
+            self.cfg.metrics_path
+        )
+
+    def read_metrics(self) -> DataFrame:
+        return self.spark.read.schema(METRICS_SCHEMA).parquet(self.cfg.metrics_path)
+
+    def read_state(self) -> DataFrame:
+        # re-load to see the latest committed snapshot
+        self.table = SnapshotTable.load(self.cfg.table_path)
+        return self.table.read_state(self.spark)
+
+
+def _align_updates(df: DataFrame, schema: T.StructType) -> DataFrame:
+    cols = []
+    for f in schema.fields:
+        cols.append((F.col(f.name) if f.name in df.columns else F.lit(None)).cast(f.dataType).alias(f.name))
+    return df.select(*cols, "op", "commit_wall_ns", "commit_logical", "seq")

@@ -1,0 +1,139 @@
+"""Snapshot-table semantics: atomic versioned commits, bucket-pruned CoW
+merge with commit-ts guard, exactly-once batch replay, tombstones, schema
+evolution (SURVEY §2.5, §2.10; W2/W5)."""
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from debezium_connector_cockroachdb_spark.sources.lake import SnapshotTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+UPD_DDL = (
+    "doc_id string, tokens array<int>, n_tok int, source string, "
+    "op string, commit_wall_ns long, commit_logical long, seq long"
+)
+
+
+def upd(spark, rows):
+    return spark.createDataFrame(rows, UPD_DDL)
+
+
+def state(spark, t):
+    t2 = SnapshotTable.load(t.path)
+    return {r["doc_id"]: r.asDict() for r in t2.read_state(spark).collect()}
+
+
+def mk(tmp_table_dir, buckets=4):
+    return SnapshotTable.create(tmp_table_dir, SCHEMA, "doc_id", num_buckets=buckets)
+
+
+def test_insert_update_delete_chain(spark, tmp_table_dir):
+    t = mk(tmp_table_dir)
+    t.merge(spark, upd(spark, [("a", [1], 1, "cc", "c", 100, 0, 1), ("b", [2], 1, "cc", "c", 100, 0, 2)]), "b1")
+    t.merge(spark, upd(spark, [("a", [9, 9], 2, "cc", "u", 200, 0, 3)]), "b2")
+    t.merge(spark, upd(spark, [("b", None, None, None, "d", 300, 0, 4)]), "b3")
+    s = state(spark, t)
+    assert set(s) == {"a"}
+    assert list(s["a"]["tokens"]) == [9, 9]
+
+
+def test_replayed_batch_skipped(spark, tmp_table_dir):
+    """Exactly-once: same batch_key re-merged is a no-op commit-wise."""
+    t = mk(tmp_table_dir)
+    r1 = t.merge(spark, upd(spark, [("a", [1], 1, "cc", "c", 100, 0, 1)]), "b1")
+    v1 = r1["version"]
+    r2 = t.merge(spark, upd(spark, [("a", [777], 1, "cc", "u", 999, 0, 9)]), "b1")
+    assert r2["skipped"] is True
+    assert SnapshotTable.load(t.path).meta["version"] == v1
+    assert list(state(spark, t)["a"]["tokens"]) == [1]
+
+
+def test_stale_update_is_noop(spark, tmp_table_dir):
+    """Commit-ts guard (FIXTURES scenario 12): older event in a later batch
+    must not overwrite newer state."""
+    t = mk(tmp_table_dir)
+    t.merge(spark, upd(spark, [("a", [5], 1, "cc", "u", 500, 0, 10)]), "b1")
+    r = t.merge(spark, upd(spark, [("a", [1], 1, "cc", "u", 100, 0, 20)]), "b2")
+    assert r["stale_or_kept"] == 1 and r["updated"] == 0
+    assert list(state(spark, t)["a"]["tokens"]) == [5]
+
+
+def test_delete_tombstone_blocks_resurrection(spark, tmp_table_dir):
+    """A late older insert after a delete must stay dead."""
+    t = mk(tmp_table_dir)
+    t.merge(spark, upd(spark, [("a", None, None, None, "d", 500, 0, 10)]), "b1")
+    t.merge(spark, upd(spark, [("a", [1], 1, "cc", "c", 100, 0, 20)]), "b2")
+    assert state(spark, t) == {}
+
+
+def test_same_hlc_tiebreak_by_seq(spark, tmp_table_dir):
+    """Same-ts delete-then-insert: arrival order (offset) wins (scenario 6)."""
+    t = mk(tmp_table_dir)
+    t.merge(spark, upd(spark, [("a", [1], 1, "cc", "c", 100, 0, 1)]), "b1")
+    t.merge(spark, upd(spark, [("a", None, None, None, "d", 200, 0, 2)]), "b2")
+    t.merge(spark, upd(spark, [("a", [2], 1, "cc", "c", 200, 0, 3)]), "b3")
+    assert list(state(spark, t)["a"]["tokens"]) == [2]
+
+
+def test_bucket_pruning_rewrites_only_touched(spark, tmp_table_dir):
+    t = mk(tmp_table_dir, buckets=8)
+    rows = [(f"k{i}", [i], 1, "cc", "c", 100, 0, i) for i in range(64)]
+    t.merge(spark, upd(spark, rows), "b1")
+    files_v1 = {f["path"] for f in SnapshotTable.load(t.path).meta["files"]}
+    r = t.merge(spark, upd(spark, [("k3", [99], 1, "cc", "u", 200, 0, 99)]), "b2")
+    assert r["touched_buckets"] == 1
+    files_v2 = SnapshotTable.load(t.path).meta["files"]
+    carried = {f["path"] for f in files_v2} & files_v1
+    # 7 of 8 buckets' files must be carried over untouched
+    assert len(carried) >= 1 and len({f["bucket"] for f in files_v2 if f["path"] not in files_v1}) == 1
+    assert list(state(spark, t)["k3"]["tokens"]) == [99]
+    assert len(state(spark, t)) == 64
+
+
+def test_schema_evolution_add_column_and_widen(spark, tmp_table_dir):
+    t = mk(tmp_table_dir)
+    t.merge(spark, upd(spark, [("a", [1], 1, "cc", "c", 100, 0, 1)]), "b1")
+    new_schema = T.StructType(
+        list(SCHEMA.fields)[:2]
+        + [T.StructField("n_tok", T.LongType(), True)]  # widen int→long
+        + [list(SCHEMA.fields)[3], T.StructField("lang", T.StringType(), True)]  # add column
+    )
+    t.evolve_schema(new_schema)
+    u2 = spark.createDataFrame(
+        [("b", [2], 2, "web", "en", "c", 200, 0, 2)],
+        "doc_id string, tokens array<int>, n_tok long, source string, lang string, "
+        "op string, commit_wall_ns long, commit_logical long, seq long",
+    )
+    t.merge(spark, u2, "b2")
+    s = state(spark, t)
+    assert s["a"]["lang"] is None and s["a"]["n_tok"] == 1  # old row null-filled + widened
+    assert s["b"]["lang"] == "en" and s["b"]["n_tok"] == 2
+
+
+def test_merge_is_idempotent_on_state(spark, tmp_table_dir):
+    """Applying identical update content twice (different batch keys) leaves
+    state unchanged — the foreachBatch-retry safety property."""
+    t = mk(tmp_table_dir)
+    rows = [("a", [1, 2], 2, "cc", "c", 100, 0, 1), ("b", None, None, None, "d", 100, 0, 2)]
+    t.merge(spark, upd(spark, rows), "b1")
+    s1 = state(spark, t)
+    t.merge(spark, upd(spark, rows), "b2")
+    assert state(spark, t) == s1
+
+
+def test_empty_merge_commits_frontier(spark, tmp_table_dir):
+    t = mk(tmp_table_dir)
+    r = t.merge(spark, upd(spark, []), "b1", frontier_hlc="12345.0000000001")
+    assert r["n_updates"] == 0
+    t2 = SnapshotTable.load(t.path)
+    assert t2.meta["frontier"]["wall_ns"] == 12345
+    assert t2.meta["frontier"]["logical"] == 1
+    assert "b1" in t2.meta["applied"]

@@ -1,0 +1,181 @@
+"""End-to-end pipeline scenarios (FIXTURES.md §4) — generated changefeed log
+replayed through snapshot + streaming phases; final table state asserted
+row-for-row (token-array equality) against the pure-Python oracle."""
+
+import glob
+import os
+
+import pytest
+
+from debezium_connector_cockroachdb_spark.sources.generator import (
+    GeneratorConfig,
+    seed_table,
+    write_log,
+)
+from debezium_connector_cockroachdb_spark.streaming.pipeline import CDCPipeline, IngestConfig
+
+from oracle import assert_state_equal, replay  # tests/oracle.py (conftest puts repo root + tests on sys.path)
+
+
+def build_env(spark, tmp_path, cfg_kw=None, ingest_kw=None, write_seed=True):
+    gcfg = GeneratorConfig(
+        num_keys=60, num_events=800, resolved_every=200, n_files=4,
+        dup_pct=5, tombstone_pct=50, **(cfg_kw or {})
+    )
+    log_dir = str(tmp_path / "log")
+    write_log(spark, gcfg, log_dir)
+    icfg = IngestConfig(
+        log_dir=log_dir,
+        table_path=str(tmp_path / "table"),
+        metrics_path=str(tmp_path / "metrics"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        num_buckets=8,
+        **(ingest_kw or {}),
+    )
+    seed = seed_table(spark, gcfg) if write_seed else None
+    return gcfg, icfg, log_dir, seed
+
+
+def run_oracle(spark, log_dir, seed):
+    import pandas as pd
+    log = spark.read.parquet(log_dir).toPandas()
+    seed_rows = [r.asDict() for r in seed.collect()] if seed is not None else None
+    if seed_rows:
+        for r in seed_rows:
+            r["tokens"] = list(r["tokens"])
+    return replay(log, "doc_id", seed_rows)
+
+
+def normalize(rows):
+    out = []
+    for r in rows:
+        d = r.asDict()
+        if d.get("tokens") is not None:
+            d["tokens"] = list(d["tokens"])
+        out.append(d)
+    return out
+
+
+def test_full_replay_matches_oracle(spark, tmp_path):
+    """Scenario 1/4/5/6/8/13 combined: the whole generated log (dups,
+    tombstones, same-HLC txns, resolved rows) + initial scan."""
+    gcfg, icfg, log_dir, seed = build_env(spark, tmp_path)
+    pipe = CDCPipeline(spark, icfg)
+    pipe.run_to_completion(seed_df=seed)
+    got = normalize(pipe.read_state().collect())
+    assert_state_equal(got, run_oracle(spark, log_dir, seed))
+
+
+def test_stream_only_no_snapshot(spark, tmp_path):
+    gcfg, icfg, log_dir, _ = build_env(
+        spark, tmp_path, ingest_kw={"snapshot_mode": "never"}, write_seed=False
+    )
+    pipe = CDCPipeline(spark, icfg)
+    pipe.run_to_completion(seed_df=None)
+    got = normalize(pipe.read_state().collect())
+    assert_state_equal(got, run_oracle(spark, log_dir, None))
+
+
+def test_restart_resume_no_reapply(spark, tmp_path):
+    """Scenario 9 (CockroachDBRestartResumeIT analogue): stop after some
+    micro-batches, restart from the same checkpoint → identical state,
+    zero double-applied effects."""
+    gcfg, icfg, log_dir, seed = build_env(
+        spark, tmp_path, ingest_kw={"max_files_per_trigger": 1}
+    )
+    pipe = CDCPipeline(spark, icfg)
+    pipe.run_snapshot(seed)
+    # phase 1: process just the first couple of triggers, then kill
+    q = pipe.start_stream(available_now=False, trigger_seconds=0.1)
+    import time as _t
+    deadline = _t.time() + 60
+    while _t.time() < deadline:
+        progress = q.lastProgress
+        if progress and progress["batchId"] >= 1:
+            break
+        _t.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    # phase 2: a NEW pipeline object (fresh process analogue), same checkpoint
+    pipe2 = CDCPipeline(spark, icfg)
+    q2 = pipe2.start_stream(available_now=True)
+    q2.awaitTermination()
+    got = normalize(pipe2.read_state().collect())
+    assert_state_equal(got, run_oracle(spark, log_dir, seed))
+    # every applied batch key is unique (no batch merged twice)
+    applied = pipe2.table.meta["applied"]
+    assert len(applied) == len(set(applied))
+
+
+def test_schema_evolution_mid_stream(spark, tmp_path):
+    """Scenario 10 (dbz#2253 analogue): `lang` column appears mid-stream;
+    pre-DDL rows null-filled, post-DDL rows carry it; target schema evolves
+    before apply."""
+    gcfg, icfg, log_dir, seed = build_env(spark, tmp_path, cfg_kw={"evolve_at": 400})
+    pipe = CDCPipeline(spark, icfg)
+    pipe.run_to_completion(seed_df=seed)
+    got = normalize(pipe.read_state().collect())
+    oracle = run_oracle(spark, log_dir, seed)
+    # align: oracle rows written pre-DDL lack `lang` → expect None
+    for v in oracle.values():
+        v.setdefault("lang", None)
+    assert_state_equal(got, oracle)
+    assert "lang" in [f.name for f in pipe.table.schema.fields]
+    langs = {r["lang"] for r in got}
+    assert langs - {None}, "some post-DDL rows must carry lang"
+
+
+def test_hot_key_skew_matches_oracle(spark, tmp_path):
+    """Scenario 11: ≥20% of events hit one key; result identical."""
+    gcfg, icfg, log_dir, seed = build_env(spark, tmp_path, cfg_kw={"hot_key_pct": 25})
+    pipe = CDCPipeline(spark, icfg)
+    pipe.run_to_completion(seed_df=seed)
+    got = normalize(pipe.read_state().collect())
+    assert_state_equal(got, run_oracle(spark, log_dir, seed))
+
+
+def test_metrics_lineage_written(spark, tmp_path):
+    gcfg, icfg, log_dir, seed = build_env(spark, tmp_path)
+    pipe = CDCPipeline(spark, icfg)
+    pipe.run_to_completion(seed_df=seed)
+    m = pipe.read_metrics().collect()
+    phases = {r["phase"] for r in m}
+    assert {"snapshot", "stream"} <= phases
+    stream_rows = [r for r in m if r["phase"] == "stream"]
+    assert all(r["table_version"] is not None for r in m)
+    # frontier advanced at least once via resolved messages
+    assert any(r["frontier_hlc"] for r in stream_rows)
+    # offset lineage recorded
+    assert any(r["min_seq"] is not None and r["max_seq"] is not None for r in stream_rows)
+
+
+def test_initial_only_stops_after_snapshot(spark, tmp_path):
+    gcfg, icfg, log_dir, seed = build_env(
+        spark, tmp_path, ingest_kw={"snapshot_mode": "initial_only"}
+    )
+    pipe = CDCPipeline(spark, icfg)
+    pipe.run_to_completion(seed_df=seed)
+    got = {r["doc_id"] for r in pipe.read_state().collect()}
+    assert got == {r["doc_id"] for r in seed.collect()}  # stream never ran
+
+
+def test_poison_event_quarantined(spark, tmp_path):
+    """X3: malformed JSON values go to the dead-letter table, never apply,
+    never kill the stream."""
+    from pyspark.sql import Row
+
+    gcfg, icfg, log_dir, seed = build_env(spark, tmp_path)
+    icfg.errors_path = str(tmp_path / "errors")
+    pipe = CDCPipeline(spark, icfg)
+    pipe.run_to_completion(seed_df=seed)
+    n_before = pipe.read_state().count()
+    poison = spark.createDataFrame(
+        [Row(topic="t", partition=0, offset=10**9, ts_ms=0, key='["x"]', value="NOT JSON {{{")],
+        "topic string, partition int, offset long, ts_ms long, key string, value string",
+    )
+    stats = pipe.process_batch(poison, batch_id=999999)
+    assert stats["n_malformed"] == 1
+    assert stats["n_updates"] == 0
+    assert pipe.read_state().count() == n_before
+    errs = spark.read.parquet(icfg.errors_path).collect()
+    assert len(errs) == 1 and errs[0]["value"].startswith("NOT JSON")
