@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline metric: CDC apply throughput — change-events/sec from raw
+changefeed records to committed, consistent snapshot-table state (parse →
+dedup → merge → commit, the full §3 path), measured over a deterministic
+replay log. Secondary: per-operator seconds for the §2 / training-data
+suite.
+
+The N→4N scaling evidence (BASELINE.md protocol) lives in
+bench_scaling.py, which re-invokes this file at two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# CDC replay workload (deterministic; log cached across runs per config)
+N_EVENTS = int(os.environ.get("BENCH_EVENTS", "400000"))
+N_KEYS = int(os.environ.get("BENCH_KEYS", "50000"))
+HOT_PCT = int(os.environ.get("BENCH_HOT_PCT", "10"))
+
+
+def build_spark(cpus: int):
+    from debezium_connector_cockroachdb_spark.session import build_session
+
+    return build_session(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "48g")},
+    )
+
+
+def bench_cdc_apply(spark) -> tuple[float, dict]:
+    from debezium_connector_cockroachdb_spark.sources.generator import (
+        GeneratorConfig,
+        seed_table,
+        write_log,
+    )
+    from debezium_connector_cockroachdb_spark.streaming.pipeline import CDCPipeline, IngestConfig
+
+    cfg = GeneratorConfig(
+        num_keys=N_KEYS,
+        num_events=N_EVENTS,
+        resolved_every=max(N_EVENTS // 40, 1000),
+        n_files=8,
+        dup_pct=3,
+        tombstone_pct=40,
+        hot_key_pct=HOT_PCT,
+        n_partitions=8,
+    )
+    cache_key = f"log_e{N_EVENTS}_k{N_KEYS}_h{HOT_PCT}"
+    log_dir = os.path.join(REPO, "_work", "bench", cache_key)
+    if not os.path.exists(os.path.join(log_dir, "_SUCCESS")):
+        write_log(spark, cfg, log_dir)
+    n_records = spark.read.parquet(log_dir).count()
+
+    run_dir = os.path.join(REPO, "_work", "bench", f"run_{os.getpid()}")
+    shutil.rmtree(run_dir, ignore_errors=True)
+    icfg = IngestConfig(
+        log_dir=log_dir,
+        table_path=os.path.join(run_dir, "table"),
+        metrics_path=os.path.join(run_dir, "metrics"),
+        checkpoint_dir=os.path.join(run_dir, "ckpt"),
+        num_buckets=64,
+        max_files_per_trigger=2,  # 4 micro-batches; throughput mode favors
+        # large batches — per-batch fixed costs (commit, listing, planning)
+        # amortize over ~N_EVENTS/4 events
+        collect_metrics=True,
+    )
+    pipe = CDCPipeline(spark, icfg)
+    t0 = time.time()
+    pipe.run_snapshot(seed_table(spark, cfg))
+    q = pipe.start_stream(available_now=True)
+    q.awaitTermination()
+    dt = time.time() - t0
+    n_state = pipe.read_state().count()
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return dt, {
+        "n_log_records": n_records,
+        "n_final_rows": n_state,
+        "events_per_sec": round(n_records / dt, 1),
+    }
+
+
+# secondary per-operator benchmarks (keys must exist in queries())
+OPERATOR_BENCH = [
+    "cdc_last_writer_wins",
+    "cdc_merge_apply",
+    "text_analysis",
+    "dedup_exact",
+    "minhash_signatures",
+    "simhash",
+    "ann_cosine_topk",
+    "ngram_jaccard",
+]
+
+
+def main() -> None:
+    spark = build_spark(CPUS)
+    from debezium_connector_cockroachdb_spark.plans import driver_queries as dq
+
+    qs = dq.queries()
+    timings: dict[str, float] = {}
+
+    cdc_dt, cdc_stats = bench_cdc_apply(spark)
+    timings["cdc_full_apply"] = round(cdc_dt, 3)
+
+    for name in OPERATOR_BENCH:
+        fn = qs[name]
+        t0 = time.time()
+        n = fn(spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "cdc_apply_throughput_and_operator_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "cdc": cdc_stats,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

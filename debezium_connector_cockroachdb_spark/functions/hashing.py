@@ -28,10 +28,11 @@ def md5_48(col: Column) -> Column:
 
 
 # MinHash parameters — shared with the DuckDB oracle; classic universal
-# hashing h_j(x) = (a_j*x + b_j) mod p with p = 2^61-1 kept exact in int128
-# on DuckDB and in Spark's long arithmetic via modular reduction of 48-bit
-# inputs (a_j, b_j < 2^13 so a*x < 2^61 never overflows a signed 64-bit).
-MINHASH_P = (1 << 61) - 1
+# hashing h_j(x) = (a_j*x + b_j) mod p. p = 2^31-1 keeps every result well
+# under 2^53 so values survive any float64 round-trip bit-exactly (DuckDB's
+# pandas bridge renders HUGEINT sums as float64); a_j < 2^13 and x < 2^48
+# keep the product a_j*x < 2^61, inside signed-64 on both engines.
+MINHASH_P = (1 << 31) - 1
 MINHASH_A = [4097, 5261, 6151, 7177, 8111, 1409, 2693, 3371, 4723, 5881, 6829, 7919, 1201, 2357, 3547, 4441]
 MINHASH_B = [211, 379, 557, 733, 919, 1103, 1301, 1487, 1667, 1861, 2053, 2239, 2423, 2617, 2801, 2971]
 

@@ -48,5 +48,14 @@ def last_writer_wins(df: DataFrame, pk_col: str = "pk") -> DataFrame:
 
 
 def dedupe_batch(df: DataFrame, pk_col: str = "pk") -> DataFrame:
-    """Full batch-local dedup: identity drop then last-writer-wins."""
-    return last_writer_wins(drop_duplicate_events(df), pk_col)
+    """Batch-local dedup for the apply path.
+
+    NOTE: the identity ``dropDuplicates`` (the reference's LRU check) is
+    deliberately NOT run here — it is subsumed by last-writer-wins:
+    identity-duplicates carry identical payloads so either copy wins
+    equivalently, and the same-HLC delete+insert tie-break already rides on
+    ``seq``. The reference needs the LRU because it re-dispatches events
+    downstream one by one; our sink applies only the per-key winner, so the
+    extra full shuffle would buy nothing. ``drop_duplicate_events`` remains
+    available for metrics/audit flows."""
+    return last_writer_wins(df, pk_col)

@@ -56,7 +56,11 @@ def cosine_topk(
         .select(
             query_id_col,
             "neighbor_id",
-            cosine(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")).alias("cos_sim"),
+            # rounded BEFORE ranking so tie-breaks are reproducible across
+            # engines (two sims rounding equal must fall back to id order)
+            F.round(
+                cosine(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")), 6
+            ).alias("cos_sim"),
         )
     )
     # arg-top-k without a global sort: collect per query the k best
@@ -70,7 +74,7 @@ def cosine_topk(
             query_id_col,
             F.col("t.neighbor_id").alias("neighbor_id"),
             (F.col("rank0") + 1).alias("rank"),
-            F.round(F.col("t.cos_sim"), 6).alias("cos_sim"),
+            F.col("t.cos_sim").alias("cos_sim"),
         )
     )
     return topk
@@ -85,11 +89,18 @@ def _plane_sign(b: int, d: Column) -> Column:
 def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
     """Sign-LSH bucket id in [0, 2^n_planes)."""
     dims = F.transform(vec, lambda v, i: F.struct(v.alias("v"), i.alias("i")))
+
+    def plane_sum(b: int):
+        # nb: the lambda must take exactly (acc, elem) — pyspark counts
+        # parameters (incl. defaults) to pick the higher-order arity
+        def step(a, x):
+            return a + x["v"] * _plane_sign(b, x["i"])
+
+        return F.aggregate(dims, F.lit(0.0), step)
+
     acc = F.lit(0).cast("long")
     for b in range(n_planes):
-        s = F.aggregate(
-            dims, F.lit(0.0), lambda a, x, _b=b: a + x["v"] * _plane_sign(_b, x["i"])
-        )
+        s = plane_sum(b)
         acc = acc + F.when(s > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
     return acc
 

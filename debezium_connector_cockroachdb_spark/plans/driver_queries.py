@@ -1,0 +1,526 @@
+"""Driver-contract queries: (spark_fn, oracle_sql) pairs.
+
+Every operator claimed done in SURVEY.md §2 appears here expressed over the
+driver's parquet tables (events/orders/customer/documents/embeddings), with
+a DuckDB-runnable ANSI-SQL oracle producing identical columns and values.
+
+Portability rules learned the hard way (see functions/hashing.py):
+  * shared hashes go through md5 (identical hex on both engines); the first
+    12 hex chars fold to a 48-bit bigint with exact integer arithmetic;
+  * no raw unordered float sums in outputs — either the doubles come
+    straight from parquet (bit-identical) or they are rounded after a
+    deterministic sequential reduction;
+  * timestamps leave as epoch micros (bigint), never engine-native types.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MD5_48_DUCKDB_TEMPLATE, MINHASH_A, MINHASH_B, MINHASH_P, md5_48
+from ..functions.hlc import hlc_logical, hlc_wall_ns
+from ..operators import multimodal, similarity, text, text_dedup
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# op classification used by the CDC-over-events queries (D2 analogue: a
+# fixed event_type → op mapping, CASE-expressible on both engines)
+OP_CASE_SQL = (
+    "CASE WHEN event_type = 'signup' THEN 'c' "
+    "WHEN event_type = 'error' THEN 'd' ELSE 'u' END"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _op_col() -> F.Column:
+    return (
+        F.when(F.col("event_type") == "signup", F.lit("c"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC operators over the `events` table
+# --------------------------------------------------------------------------
+
+def q_cdc_last_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 last-writer-wins as arg-max aggregation (map-side combinable —
+    the hot-key-safe form of `row_number()=1`)."""
+    ev = _t(spark, sf_dir, "events")
+    packed = F.struct(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"), F.col("event_id"),
+        F.col("event_type"), F.col("value"),
+    )
+    w = ev.groupBy("user_id").agg(F.max(packed).alias("w"))
+    return w.select(
+        "user_id",
+        F.col("w.ts_us").alias("last_ts_us"),
+        F.col("w.event_id").alias("last_event_id"),
+        F.col("w.event_type").alias("last_event_type"),
+        F.col("w.value").alias("last_value"),
+    )
+
+
+SQL_CDC_LWW = """
+SELECT user_id, last_ts_us, last_event_id, last_event_type, last_value FROM (
+  SELECT user_id, epoch_us(ts) AS last_ts_us, event_id AS last_event_id,
+         event_type AS last_event_type, value AS last_value,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_cdc_event_identity_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 identity dedup: duplicates share (key, op-ish, ts)."""
+    ev = _t(spark, sf_dir, "events")
+    ident = F.concat_ws(":", F.col("event_type"), F.unix_micros(F.col("ts").cast("timestamp")).cast("string"))
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct(ident).alias("n_distinct_identity"),
+    )
+
+
+SQL_CDC_IDENTITY = """
+SELECT user_id, count(*) AS n_total,
+       count(DISTINCT event_type || ':' || CAST(epoch_us(ts) AS VARCHAR)) AS n_distinct_identity
+FROM events GROUP BY user_id
+"""
+
+
+def q_cdc_op_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 op extraction/classification with counts per op (§2.6 metrics agg)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(_op_col().alias("op"), "value")
+        .groupBy("op")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
+    )
+
+
+SQL_CDC_OP_CLASSIFY = f"""
+SELECT {OP_CASE_SQL} AS op, count(*) AS n, round(sum(value), 3) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_cdc_resolved_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/W1: control-row split + frontier advance (every 100th event plays
+    the resolved-timestamp role)."""
+    ev = _t(spark, sf_dir, "events")
+    is_res = F.col("event_id") % 100 == 0
+    return ev.agg(
+        F.max(F.when(is_res, F.unix_micros(F.col("ts").cast("timestamp")))).alias("frontier_us"),
+        F.sum(F.when(is_res, 1).otherwise(0)).alias("n_resolved"),
+        F.sum(F.when(~is_res, 1).otherwise(0)).alias("n_data"),
+    )
+
+
+SQL_CDC_FRONTIER = """
+SELECT max(CASE WHEN event_id % 100 = 0 THEN epoch_us(ts) END) AS frontier_us,
+       CAST(sum(CASE WHEN event_id % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resolved,
+       CAST(sum(CASE WHEN event_id % 100 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_data
+FROM events
+"""
+
+
+def q_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 MERGE semantics relationally: last event per key applied onto
+    the customer base — delete removes, update rewrites, others keep."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    lww = q_cdc_last_writer_wins(spark, sf_dir).select(
+        (F.col("user_id") + 1).alias("c_custkey"),
+        F.col("last_event_type"),
+        F.col("last_value"),
+    )
+    joined = cust.join(F.broadcast(lww), "c_custkey", "left")
+    return (
+        joined.filter(F.col("last_event_type").isNull() | (F.col("last_event_type") != "error"))
+        .select(
+            "c_custkey",
+            F.when(F.col("last_event_type").isNotNull(),
+                   F.concat(F.lit("user-"), (F.col("c_custkey") - 1).cast("string")))
+            .otherwise(F.col("c_name")).alias("name"),
+            F.when(F.col("last_event_type").isNotNull(), F.round(F.col("last_value"), 2))
+            .otherwise(F.round(F.col("c_acctbal").cast("double"), 2)).alias("balance"),
+        )
+    )
+
+
+SQL_CDC_MERGE_APPLY = """
+WITH lww AS (
+  SELECT user_id + 1 AS c_custkey, event_type AS last_event_type, value AS last_value FROM (
+    SELECT user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT c.c_custkey,
+       CASE WHEN l.last_event_type IS NOT NULL THEN 'user-' || CAST(c.c_custkey - 1 AS VARCHAR)
+            ELSE c.c_name END AS name,
+       CASE WHEN l.last_event_type IS NOT NULL THEN round(l.last_value, 2)
+            ELSE round(CAST(c.c_acctbal AS DOUBLE), 2) END AS balance
+FROM customer c LEFT JOIN lww l USING (c_custkey)
+WHERE l.last_event_type IS NULL OR l.last_event_type <> 'error'
+"""
+
+
+def q_hlc_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15: HLC strings built from event timestamps, parsed back."""
+    ev = _t(spark, sf_dir, "events")
+    hlc = F.concat(
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).cast("string"),
+        F.lit("."),
+        F.lpad((F.col("event_id") % 3).cast("string"), 10, "0"),
+    )
+    return ev.select(
+        "event_id",
+        hlc_wall_ns(hlc).alias("wall_ns"),
+        hlc_logical(hlc).alias("logical"),
+    )
+
+
+SQL_HLC_ROUNDTRIP = """
+SELECT event_id, epoch_us(ts) * 1000 AS wall_ns, event_id % 3 AS logical
+FROM events
+"""
+
+
+def q_envelope_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/S5: envelope JSON built from orders rows, fields projected
+    back out (the parse path's projection semantics, oracle-checkable)."""
+    o = _t(spark, sf_dir, "orders")
+    env = F.concat(
+        F.lit('{"after":{"id":'), F.col("o_orderkey").cast("string"),
+        F.lit(',"status":"'), F.col("o_orderstatus"),
+        F.lit('"},"op":"c","source":{"table_name":"orders"}}'),
+    )
+    return o.select(
+        F.get_json_object(env, "$.after.id").cast("long").alias("id"),
+        F.get_json_object(env, "$.after.status").alias("status"),
+        F.get_json_object(env, "$.op").alias("op"),
+        F.get_json_object(env, "$.source.table_name").alias("table_name"),
+    )
+
+
+SQL_ENVELOPE_EXTRACT = """
+WITH env AS (
+  SELECT '{"after":{"id":' || CAST(o_orderkey AS VARCHAR) || ',"status":"' || o_orderstatus
+         || '"},"op":"c","source":{"table_name":"orders"}}' AS v
+  FROM orders
+)
+SELECT CAST(json_extract_string(v, '$.after.id') AS BIGINT) AS id,
+       json_extract_string(v, '$.after.status') AS status,
+       json_extract_string(v, '$.op') AS op,
+       json_extract_string(v, '$.source.table_name') AS table_name
+FROM env
+"""
+
+
+def q_bytea_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: bytea hex-literal decode + re-encode through real binary."""
+    s = _t(spark, sf_dir, "supplier")
+    lit = F.concat(F.lit("\\x"), F.substring(F.md5(F.col("s_name")), 1, 8))
+    from ..functions.converters import bytes_to_hex_literal, decode_bytes_literal
+
+    return s.select(
+        "s_suppkey",
+        bytes_to_hex_literal(decode_bytes_literal(lit)).alias("hex_literal"),
+        F.length(decode_bytes_literal(lit)).alias("n_bytes"),
+    )
+
+
+SQL_BYTEA_ROUNDTRIP = r"""
+SELECT s_suppkey, '\x' || substr(md5(s_name), 1, 8) AS hex_literal, 4 AS n_bytes
+FROM supplier
+"""
+
+
+def q_temporal_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: timestamp-string → micros-since-epoch UTC via the converter."""
+    ev = _t(spark, sf_dir, "events")
+    from ..functions.converters import convert_timestamp_micros
+
+    s = F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    return ev.select("event_id", convert_timestamp_micros(s).alias("ts_us"))
+
+
+SQL_TEMPORAL_MICROS = """
+SELECT event_id, epoch_us(ts) AS ts_us FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data operators over `documents` / `embeddings`
+# --------------------------------------------------------------------------
+
+H48_SQL = MD5_48_DUCKDB_TEMPLATE  # .format(expr=...)
+
+NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, greatest(length({n}) - 4, 1) + 1),"
+    " i -> substr({n}, i, 5)))"
+)
+
+
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.analyze_documents(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_ANALYSIS = """
+WITH base AS (
+  SELECT doc_id, text, trim(text) AS t,
+         ' ' || lower(text) || ' ' AS padded,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS kept,
+         length(regexp_replace(trim(text), '\\s+', '', 'g')) AS letters
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, n_tokens,
+         length(text) AS n_chars,
+         round(kept / greatest(length(text), 1), 4) AS word_char_ratio,
+         round(letters / greatest(n_tokens, 1), 4) AS mean_token_len,
+         CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5
+            + (length(padded) - length(replace(padded, ' and ', ''))) / 5
+            + (length(padded) - length(replace(padded, ' of ', ''))) / 4
+            + (length(padded) - length(replace(padded, ' to ', ''))) / 4 AS INT) AS s_en,
+         CAST((length(padded) - length(replace(padded, ' der ', ''))) / 5
+            + (length(padded) - length(replace(padded, ' und ', ''))) / 5
+            + (length(padded) - length(replace(padded, ' die ', ''))) / 5
+            + (length(padded) - length(replace(padded, ' das ', ''))) / 5 AS INT) AS s_de,
+         CAST((length(padded) - length(replace(padded, ' le ', ''))) / 4
+            + (length(padded) - length(replace(padded, ' la ', ''))) / 4
+            + (length(padded) - length(replace(padded, ' et ', ''))) / 4
+            + (length(padded) - length(replace(padded, ' les ', ''))) / 5 AS INT) AS s_fr,
+         CAST((length(padded) - length(replace(padded, ' el ', ''))) / 4
+            + (length(padded) - length(replace(padded, ' los ', ''))) / 5
+            + (length(padded) - length(replace(padded, ' que ', ''))) / 5
+            + (length(padded) - length(replace(padded, ' y ', ''))) / 3 AS INT) AS s_es
+  FROM base
+)
+SELECT doc_id, n_tokens, n_chars, word_char_ratio, mean_token_len,
+       round(word_char_ratio * (CASE WHEN mean_token_len BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END), 4) AS quality,
+       CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+            ELSE 'es' END AS lang_pred,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM scored
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("doc_id"), text.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.01, n=5, max_df=20
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({SHINGLES_SQL.format(n=NORM_SQL)}) AS shingle
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+), rare AS (
+  SELECT * FROM sh WHERE shingle IN (
+    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 20
+  )
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter, sa.set_size AS size_a, sb.set_size AS size_b,
+       round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= 0.01
+"""
+
+MINHASH_K_ORACLE = 8
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_dedup.minhash_signatures(_t(spark, sf_dir, "documents"), k=MINHASH_K_ORACLE)
+
+
+def _minhash_sql() -> str:
+    h = H48_SQL.format(expr="s")
+    mins = ",\n       ".join(
+        f"CAST(list_min(list_transform(sh, s -> ({MINHASH_A[j]} * ({h}) + {MINHASH_B[j]}) % {MINHASH_P})) AS BIGINT) AS mh{j}"
+        for j in range(MINHASH_K_ORACLE)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {SHINGLES_SQL.format(n=NORM_SQL)} AS sh FROM documents
+)
+SELECT doc_id,
+       {mins}
+FROM base
+"""
+
+
+SIMHASH_BITS_ORACLE = 16
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_dedup.simhash(_t(spark, sf_dir, "documents"), bits=SIMHASH_BITS_ORACLE)
+
+
+def _simhash_sql() -> str:
+    h = H48_SQL.format(expr="w")
+    sums = ",\n       ".join(
+        f"sum(CASE WHEN (({h}) >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS_ORACLE)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS_ORACLE)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array({NORM_SQL}, ' ')) AS w FROM documents
+), agg AS (
+  SELECT doc_id,
+       {sums}
+  FROM words WHERE length(w) > 0 GROUP BY doc_id
+)
+SELECT doc_id, {fp} AS simhash FROM agg
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk(emb, queries, k=3)
+
+
+# dot/norm computed as sequential sums of per-element DOUBLE products —
+# bit-identical to Spark's F.aggregate(zip_with(...)) left fold (DuckDB's
+# list_dot_product accumulates in float32 and diverges at the 6th decimal)
+_DOT = "list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
+SQL_ANN_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({_DOT.format(a='q.qv', b='e.embedding')}
+               / (sqrt({_DOT.format(a='q.qv', b='q.qv')}) * sqrt({_DOT.format(a='e.embedding', b='e.embedding')})), 6)
+           AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim FROM ranked WHERE rank <= 3
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       'application/octet-stream' AS mime,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+       CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
+       md5(text) AS checksum
+FROM documents
+"""
+
+
+def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
+    return multimodal.frame_sample_plan(media, every_n_bytes=64)
+
+
+SQL_FRAME_SAMPLE = """
+SELECT doc_id AS media_id,
+       CAST(off // 64 AS INT) AS frame_idx,
+       CAST(off AS INT) AS byte_offset
+FROM (
+  SELECT doc_id, unnest(generate_series(0, greatest(octet_length(encode(text)) - 1, 0), 64)) AS off
+  FROM documents
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+def queries() -> dict[str, QueryFn]:
+    return {
+        "cdc_last_writer_wins": q_cdc_last_writer_wins,
+        "cdc_event_identity_dedup": q_cdc_event_identity_dedup,
+        "cdc_op_classify": q_cdc_op_classify,
+        "cdc_resolved_frontier": q_cdc_resolved_frontier,
+        "cdc_merge_apply": q_cdc_merge_apply,
+        "hlc_parse_roundtrip": q_hlc_parse_roundtrip,
+        "envelope_extract": q_envelope_extract,
+        "bytea_roundtrip": q_bytea_roundtrip,
+        "temporal_micros": q_temporal_micros,
+        "text_analysis": q_text_analysis,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "multimodal_features": q_multimodal_features,
+        "frame_sample_plan": q_frame_sample_plan,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "cdc_last_writer_wins": SQL_CDC_LWW,
+        "cdc_event_identity_dedup": SQL_CDC_IDENTITY,
+        "cdc_op_classify": SQL_CDC_OP_CLASSIFY,
+        "cdc_resolved_frontier": SQL_CDC_FRONTIER,
+        "cdc_merge_apply": SQL_CDC_MERGE_APPLY,
+        "hlc_parse_roundtrip": SQL_HLC_ROUNDTRIP,
+        "envelope_extract": SQL_ENVELOPE_EXTRACT,
+        "bytea_roundtrip": SQL_BYTEA_ROUNDTRIP,
+        "temporal_micros": SQL_TEMPORAL_MICROS,
+        "text_analysis": SQL_TEXT_ANALYSIS,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "minhash_signatures": _minhash_sql(),
+        "simhash": _simhash_sql(),
+        "ann_cosine_topk": SQL_ANN_TOPK,
+        "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        "frame_sample_plan": SQL_FRAME_SAMPLE,
+    }

@@ -168,6 +168,16 @@ def parse_changefeed(
     pk = F.coalesce(after_c.getField(pk_name).cast(pk_type), key_pk,
                     before_c.getField(pk_name).cast(pk_type))
 
+    # raw after-image key set for drift detection (E1), computed in the
+    # same pass so no second scan over the batch is needed; deletes (no
+    # after) contribute null and thus never trigger a refresh (:826-835)
+    after_keys = F.json_object_keys(
+        F.coalesce(
+            F.get_json_object("value", "$.payload.after"),
+            F.get_json_object("value", "$.after"),
+        )
+    )
+
     return df.select(
         F.col("offset").alias("seq"),
         F.col("ts_ms"),
@@ -180,6 +190,7 @@ def parse_changefeed(
         is_control.alias("is_control"),
         is_malformed.alias("is_malformed"),
         F.when(is_control, F.lit(None).cast(pk_type)).otherwise(pk).alias("pk"),
+        after_keys.alias("after_keys"),
         before_c.alias("before"),
         after_c.alias("after"),
     )

@@ -215,11 +215,11 @@ class SnapshotTable:
         # (count, touched-bucket probe, join) — without this the upstream
         # parse+dedup plan would re-execute each time
         u = u.persist()
-        # arg-max dedup guarantees 1 row/pk, so this count is #distinct keys
-        n_updates = u.count()
-        touched = sorted(
-            r["_bucket"] for r in u.select("_bucket").distinct().collect()
-        ) if n_updates else []
+        # one job yields both the update count and the touched-bucket set
+        # (arg-max dedup upstream guarantees 1 row/pk)
+        bucket_counts = u.groupBy("_bucket").count().collect()
+        n_updates = int(sum(r["count"] for r in bucket_counts))
+        touched = sorted(r["_bucket"] for r in bucket_counts)
 
         target_files = [fe for fe in self.meta["files"] if fe["bucket"] in touched]
         carry_files = [fe for fe in self.meta["files"] if fe["bucket"] not in touched]
@@ -279,8 +279,12 @@ class SnapshotTable:
         out_dir = os.path.join(self.path, rel_dir)
         new_files: list[dict[str, Any]] = []
         if touched:
+            # partitionBy splits files per bucket regardless; the repartition
+            # count only sets write parallelism — cap it near the core count
+            # so tiny merges don't schedule one task per bucket
+            par = min(len(touched), max(spark.sparkContext.defaultParallelism, 1) * 2)
             (
-                result.repartition(max(len(touched), 1), "_bucket")
+                result.repartition(par, "_bucket")
                 .write.mode("overwrite")
                 .partitionBy("_bucket")
                 .parquet(out_dir)

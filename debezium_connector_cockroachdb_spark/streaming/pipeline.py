@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 from ..functions.converters import ColumnSpec, spark_output_type
 from ..functions.hlc import hlc_logical, hlc_string, hlc_wall_ns
 from ..operators.dedup import dedupe_batch
-from ..sources.envelope import RAW_LOG_SCHEMA, parse_changefeed, raw_json_field_names
+from ..sources.envelope import RAW_LOG_SCHEMA, parse_changefeed
 from ..sources.lake import SnapshotTable
 
 METRICS_SCHEMA = T.StructType(
@@ -151,12 +151,11 @@ class CDCPipeline:
 
     # ------------- micro-batch apply -------------
 
-    def process_batch(self, raw: DataFrame, batch_id: int) -> dict[str, Any]:
-        t0 = time.time()
-        self._maybe_evolve(raw)
-
-        parsed = parse_changefeed(raw, self.specs, self.cfg.pk_name)
-        agg = parsed.agg(
+    def _batch_agg(self, parsed: DataFrame):
+        """ONE pass over the batch: counts, offset lineage, resolved
+        frontier, and the distinct after-image key sets for drift detection
+        (E1) — all map-side combined into a single collected row."""
+        return parsed.agg(
             F.count(F.lit(1)).alias("n_raw"),
             F.sum(F.when(F.col("is_control"), 1).otherwise(0)).alias("n_control"),
             F.sum(F.when(F.col("is_malformed"), 1).otherwise(0)).alias("n_malformed"),
@@ -169,41 +168,74 @@ class CDCPipeline:
                     F.struct(hlc_wall_ns(F.col("resolved")).alias("w"), hlc_logical(F.col("resolved")).alias("l")),
                 )
             ).alias("fr"),
+            # key-set variants are few (schema changes are rare), so the
+            # set stays tiny even on 10^7-row batches
+            F.collect_set(F.to_json("after_keys")).alias("key_sets"),
         ).collect()[0]
-        frontier = None
-        if agg["fr"] is not None:
-            frontier = f"{agg['fr']['w']}.{agg['fr']['l']:010d}"
 
-        # quarantine poison records instead of killing the stream (X3 —
-        # reference classifies parse errors as retriable; replaying a
-        # malformed byte stream never heals, so a dead-letter table is the
-        # distributed-sane equivalent)
-        if self.cfg.errors_path and (agg["n_malformed"] or 0) > 0:
-            bad_seqs = parsed.filter(F.col("is_malformed")).select(F.col("seq").alias("offset"))
-            raw.join(bad_seqs, "offset", "left_semi").withColumn(
-                "batch_id", F.lit(batch_id)
-            ).write.mode("append").parquet(self.cfg.errors_path)
+    def process_batch(self, raw: DataFrame, batch_id: int) -> dict[str, Any]:
+        t0 = time.time()
+        parsed = parse_changefeed(raw, self.specs, self.cfg.pk_name).persist()
+        try:
+            agg = self._batch_agg(parsed)
+            if self._maybe_evolve(agg["key_sets"]):
+                # rare path: re-parse the batch under the refreshed schema
+                # (E2/E3 — backlog events convert against the new schema)
+                parsed.unpersist()
+                parsed = parse_changefeed(raw, self.specs, self.cfg.pk_name).persist()
+                agg = self._batch_agg(parsed)
 
-        # keyless rows (no after image, no usable message key) can never be
-        # merged — they are dropped and surfaced via metrics
-        data = parsed.filter(~F.col("is_control") & F.col("pk").isNotNull())
-        deduped = dedupe_batch(data, "pk")
-        updates = self._to_updates(deduped)
-        stats = self.table.merge(
-            self.spark,
-            updates,
-            batch_key=f"stream:{batch_id}",
-            frontier_hlc=frontier,
-            broadcast_threshold=self.cfg.broadcast_threshold,
-        )
-        stats.update(
-            n_raw=int(agg["n_raw"]), n_control=int(agg["n_control"] or 0),
-            n_data=int(agg["n_raw"]) - int(agg["n_control"] or 0),
-            n_malformed=int(agg["n_malformed"] or 0), n_keyless=int(agg["n_keyless"] or 0),
-            min_seq=agg["min_seq"], max_seq=agg["max_seq"], frontier_hlc=frontier,
-        )
-        self._write_metrics(batch_id, "stream", stats, extra={"wall_ms": (time.time() - t0) * 1e3})
-        return stats
+            frontier = None
+            if agg["fr"] is not None:
+                frontier = f"{agg['fr']['w']}.{agg['fr']['l']:010d}"
+
+            n_raw = int(agg["n_raw"])
+            n_control = int(agg["n_control"] or 0)
+            n_malformed = int(agg["n_malformed"] or 0)
+
+            # idle fast path (W3): nothing to merge and no frontier to
+            # advance — commit only the checkpoint; replaying this batch is
+            # a no-op so no applied-key record is needed
+            if n_raw == n_control and frontier is None and n_malformed == 0:
+                stats = {"skipped": False, "version": self.table.meta["version"],
+                         "n_updates": 0, "n_raw": n_raw, "n_control": n_control,
+                         "n_data": 0, "n_malformed": 0, "n_keyless": 0,
+                         "min_seq": agg["min_seq"], "max_seq": agg["max_seq"],
+                         "frontier_hlc": None}
+                self._write_metrics(batch_id, "stream", stats,
+                                    extra={"wall_ms": (time.time() - t0) * 1e3})
+                return stats
+
+            # quarantine poison records instead of killing the stream (X3 —
+            # replaying a malformed byte stream never heals, so a dead-letter
+            # table is the distributed-sane version of "retriable")
+            if self.cfg.errors_path and n_malformed > 0:
+                bad_seqs = parsed.filter(F.col("is_malformed")).select(F.col("seq").alias("offset"))
+                raw.join(bad_seqs, "offset", "left_semi").withColumn(
+                    "batch_id", F.lit(batch_id)
+                ).write.mode("append").parquet(self.cfg.errors_path)
+
+            # keyless rows (no after image, no usable message key) can never
+            # be merged — dropped and surfaced via metrics
+            data = parsed.filter(~F.col("is_control") & F.col("pk").isNotNull())
+            deduped = dedupe_batch(data, "pk")
+            updates = self._to_updates(deduped)
+            stats = self.table.merge(
+                self.spark,
+                updates,
+                batch_key=f"stream:{batch_id}",
+                frontier_hlc=frontier,
+                broadcast_threshold=self.cfg.broadcast_threshold,
+            )
+            stats.update(
+                n_raw=n_raw, n_control=n_control, n_data=n_raw - n_control,
+                n_malformed=n_malformed, n_keyless=int(agg["n_keyless"] or 0),
+                min_seq=agg["min_seq"], max_seq=agg["max_seq"], frontier_hlc=frontier,
+            )
+            self._write_metrics(batch_id, "stream", stats, extra={"wall_ms": (time.time() - t0) * 1e3})
+            return stats
+        finally:
+            parsed.unpersist()
 
     def _to_updates(self, deduped: DataFrame) -> DataFrame:
         """Winner events → merge-ready update rows (pk column always
@@ -220,26 +252,34 @@ class CDCPipeline:
                 cols.append(src.cast(f.dataType).alias(f.name))
         return deduped.select(*cols, "op", "commit_wall_ns", "commit_logical", "seq")
 
-    def _maybe_evolve(self, raw: DataFrame) -> None:
-        """E1/E2: compare incoming after-image field names against the
-        registered schema once per micro-batch (driver-side — the
-        structural win over the reference's per-event check, §4). Deletes
-        never trigger a refresh: they have no after image
-        (…StreamingChangeEventSource.java:826-835)."""
+    def _maybe_evolve(self, key_sets: list[str] | None) -> bool:
+        """E1/E2: compare the batch's after-image field names (pre-computed
+        in the parse pass) against the registered schema — once per
+        micro-batch on the driver, the structural win over the reference's
+        per-event check (§4). Deletes never contribute (no after image,
+        …StreamingChangeEventSource.java:826-835). Returns True when the
+        schema was refreshed (caller re-parses the batch)."""
+        import json as _json
+
+        incoming: set[str] = set()
+        for ks in key_sets or []:
+            if ks:
+                incoming.update(_json.loads(ks))
         known = {f.name for f in self.table.schema.fields}
-        incoming = set(raw_json_field_names(raw, "after"))
-        if incoming and not incoming.issubset(known):
-            ver, specs = load_registry_specs(self.cfg.log_dir)
-            new_schema = user_schema(specs)
-            if not incoming.issubset({f.name for f in new_schema.fields}):
-                # registry doesn't know the field either → retriable failure;
-                # the batch replays (E2 fail-retriable, dbz#2322)
-                raise RuntimeError(
-                    f"schema drift: fields {sorted(incoming - known)} not in registry v{ver}"
-                )
-            self.specs = specs
-            self.registry_version = ver
-            self.table.evolve_schema(new_schema)
+        if not incoming or incoming.issubset(known):
+            return False
+        ver, specs = load_registry_specs(self.cfg.log_dir)
+        new_schema = user_schema(specs)
+        if not incoming.issubset({f.name for f in new_schema.fields}):
+            # registry doesn't know the field either → retriable failure;
+            # the batch replays (E2 fail-retriable, dbz#2322)
+            raise RuntimeError(
+                f"schema drift: fields {sorted(incoming - known)} not in registry v{ver}"
+            )
+        self.specs = specs
+        self.registry_version = ver
+        self.table.evolve_schema(new_schema)
+        return True
 
     # ------------- streaming driver (W2, W3) -------------
 
@@ -286,9 +326,23 @@ class CDCPipeline:
                 row[k] = int(stats[k])
         row["frontier_hlc"] = stats.get("frontier_hlc")
         row["wall_ms"] = extra.get("wall_ms")
-        self.spark.createDataFrame([row], METRICS_SCHEMA).coalesce(1).write.mode("append").parquet(
-            self.cfg.metrics_path
+        # written driver-side with pyarrow: a lineage row must not cost a
+        # Spark job per micro-batch (it did — ~0.5s of the batch floor)
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.cfg.metrics_path, exist_ok=True)
+        pa_types = {
+            "bigint": pa.int64(), "string": pa.string(),
+            "boolean": pa.bool_(), "double": pa.float64(),
+        }
+        pa_schema = pa.schema(
+            [(f.name, pa_types[f.dataType.simpleString()]) for f in METRICS_SCHEMA.fields]
         )
+        tbl = pa.Table.from_pylist([row], schema=pa_schema)
+        pq.write_table(tbl, os.path.join(self.cfg.metrics_path, f"b{batch_id}-{_uuid.uuid4().hex}.parquet"))
 
     def read_metrics(self) -> DataFrame:
         return self.spark.read.schema(METRICS_SCHEMA).parquet(self.cfg.metrics_path)

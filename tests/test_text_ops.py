@@ -1,0 +1,130 @@
+"""Training-data operators: text analysis, dedup family, similarity,
+multimodal plumbing (engine-vs-DuckDB parity is covered by the driver
+oracle; these tests pin the semantics)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_connector_cockroachdb_spark.operators import (
+    multimodal,
+    similarity,
+    text,
+    text_dedup,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog and the cat"),
+    (2, "The quick  brown fox jumps over the lazy dog and the cat"),  # ws/case dup of 1
+    (3, "der schnelle braune fuchs und der faule hund und die katze"),
+    (4, "le renard brun rapide et le chien paresseux et la petite maison"),
+    (5, "xyzzy plugh !!!"),
+    (6, "the quick brown fox jumps over the lazy dog and the bat"),  # near-dup of 1
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_lang_id(spark, docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in text.analyze_documents(docs).collect()}
+    assert got[1] == "en" and got[3] == "de" and got[4] == "fr"
+    assert got[5] == "und"
+
+
+def test_token_count_and_quality(spark, docs):
+    rows = {r["doc_id"]: r for r in text.analyze_documents(docs).collect()}
+    assert rows[1]["n_tokens"] == 12
+    assert rows[5]["word_char_ratio"] < rows[1]["word_char_ratio"]
+    assert 0.0 <= rows[5]["quality"] <= rows[1]["quality"] <= 1.0
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark, docs):
+    rows = {r["doc_id"]: r["fingerprint"] for r in text.analyze_documents(docs).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[6]
+
+
+def test_exact_dedup(spark, docs):
+    groups = text_dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["keep_id"] == 1 and groups[0]["n_copies"] == 2
+    kept = {r["doc_id"] for r in text_dedup.dedup_exact(docs).collect()}
+    assert kept == {1, 3, 4, 5, 6}
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = text_dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=10).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert (1, 2) in got and got[(1, 2)] == 1.0  # normalized-identical
+    assert (1, 6) in got and 0.5 <= got[(1, 6)] < 1.0  # one-word-off near-dup
+    assert all(a in (1, 2, 6) and b in (1, 2, 6) for a, b in got)
+
+
+def test_minhash_estimates_track_exact_jaccard(spark, docs):
+    pairs = text_dedup.minhash_lsh_pairs(docs, k=16, bands=4, threshold=0.4)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 1.0
+    assert (1, 6) in got  # near-dup lands in a shared band
+
+
+def test_simhash_collides_only_normalized_identical(spark, docs):
+    fps = {r["doc_id"]: r["simhash"] for r in text_dedup.simhash(docs, bits=32).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+    dups = text_dedup.simhash_duplicates(docs, bits=32).collect()
+    assert len(dups) == 1 and dups[0]["n_docs"] == 2
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+    (2, [0.0, 1.0, 0.0, 0.0]),
+    (3, [0.0, 0.0, 1.0, 0.0]),
+    (4, [0.7, 0.7, 0.0, 0.0]),
+]
+
+
+@pytest.fixture()
+def vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark, vecs):
+    q = vecs.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = similarity.cosine_topk(vecs, q, k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])] == [1, 4]
+    assert got[0]["cos_sim"] > 0.99
+
+
+def test_embedding_near_duplicates(spark, vecs):
+    pairs = similarity.embedding_near_duplicates(vecs, threshold=0.99, n_planes=4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_lsh_topk_recall_on_clear_neighbors(spark, vecs):
+    q = vecs.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = similarity.cosine_topk_lsh(vecs, q, k=2, n_planes=2).collect()
+    ids = {r["neighbor_id"] for r in got}
+    assert 1 in ids  # the 0.999-cosine twin must share every sign bucket
+
+
+def test_multimodal_features_roundtrip(spark, docs):
+    media = multimodal.documents_as_media(docs)
+    feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert feats[1]["n_bytes"] == len(DOCS[0][1].encode())
+    import hashlib
+    assert feats[1]["checksum"] == hashlib.md5(DOCS[0][1].encode()).hexdigest()
+    assert 1 <= feats[1]["width"] <= 640 and 1 <= feats[1]["height"] <= 480
+
+
+def test_frame_sample_plan(spark, docs):
+    media = multimodal.documents_as_media(docs)
+    rows = multimodal.frame_sample_plan(media, every_n_bytes=16).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append((r["frame_idx"], r["byte_offset"]))
+    n1 = len(DOCS[0][1].encode())
+    assert len(by_id[1]) == (n1 - 1) // 16 + 1
+    assert by_id[1][0] == (0, 0)
