@@ -27,10 +27,13 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# CDC replay workload (deterministic; log cached across runs per config)
-N_EVENTS = int(os.environ.get("BENCH_EVENTS", "400000"))
-N_KEYS = int(os.environ.get("BENCH_KEYS", "50000"))
+# CDC replay workload (deterministic; log cached across runs per config).
+# Sized so 4N cores still have work per task: 32 input files feed 32 scan
+# slots, 4 micro-batches of N_EVENTS/4 amortize per-batch fixed costs.
+N_EVENTS = int(os.environ.get("BENCH_EVENTS", "2000000"))
+N_KEYS = int(os.environ.get("BENCH_KEYS", "200000"))
 HOT_PCT = int(os.environ.get("BENCH_HOT_PCT", "10"))
+N_FILES = int(os.environ.get("BENCH_FILES", "32"))
 
 
 def build_spark(cpus: int):
@@ -56,7 +59,7 @@ def bench_cdc_apply(spark) -> tuple[float, dict]:
         num_keys=N_KEYS,
         num_events=N_EVENTS,
         resolved_every=max(N_EVENTS // 40, 1000),
-        n_files=8,
+        n_files=N_FILES,
         dup_pct=3,
         tombstone_pct=40,
         hot_key_pct=HOT_PCT,
@@ -76,9 +79,9 @@ def bench_cdc_apply(spark) -> tuple[float, dict]:
         metrics_path=os.path.join(run_dir, "metrics"),
         checkpoint_dir=os.path.join(run_dir, "ckpt"),
         num_buckets=64,
-        max_files_per_trigger=2,  # 4 micro-batches; throughput mode favors
-        # large batches — per-batch fixed costs (commit, listing, planning)
-        # amortize over ~N_EVENTS/4 events
+        # 4 micro-batches; throughput mode favors large batches — per-batch
+        # fixed costs (commit, listing, planning) amortize over N_EVENTS/4
+        max_files_per_trigger=max(N_FILES // 4, 1),
         collect_metrics=True,
     )
     pipe = CDCPipeline(spark, icfg)
