@@ -446,6 +446,74 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim FROM ranked WHE
 """
 
 
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), k=MINHASH_K_ORACLE, bands=4, threshold=0.25
+    )
+
+
+def _minhash_lsh_sql() -> str:
+    """Banded LSH over the (already-oracled) signatures: candidates where
+    any of 4 bands (2 rows each) agree; score = matching minhashes / k."""
+    h = H48_SQL.format(expr="s")
+    mins = ",\n       ".join(
+        f"CAST(list_min(list_transform(sh, s -> ({MINHASH_A[j]} * ({h}) + {MINHASH_B[j]}) % {MINHASH_P})) AS BIGINT) AS mh{j}"
+        for j in range(MINHASH_K_ORACLE)
+    )
+    bands = " OR ".join(
+        f"(a.mh{2 * b} = b.mh{2 * b} AND a.mh{2 * b + 1} = b.mh{2 * b + 1})" for b in range(4)
+    )
+    agree = " + ".join(f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)" for j in range(MINHASH_K_ORACLE))
+    return f"""
+WITH base AS (
+  SELECT doc_id, {SHINGLES_SQL.format(n=NORM_SQL)} AS sh FROM documents
+), sig AS (
+  SELECT doc_id,
+       {mins}
+  FROM base
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(({agree}) / {MINHASH_K_ORACLE}.0, 6) AS est_jaccard
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({bands})
+WHERE round(({agree}) / {MINHASH_K_ORACLE}.0, 6) >= 0.25
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_duplicates(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=3
+    )
+
+
+def _embedding_neardup_sql() -> str:
+    """Replicates the deterministic ±1 sign-LSH planes (similarity.py
+    ``_plane_sign``: +1 iff (d*(b+3)+b*b)%7<3) so the blocking — and thus
+    the result set — matches the Spark operator exactly."""
+    def plane(b: int, v: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({v}, range(len({v}))), "
+            f"p -> CAST(p[1] AS DOUBLE) * (CASE WHEN (p[2] * {b + 3} + {b * b}) % 7 < 3 THEN 1.0 ELSE -1.0 END)))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {plane(b, 'embedding')} > 0 THEN {1 << b} ELSE 0 END)" for b in range(3)
+    )
+    dot = _DOT
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding, {bucket} AS bkt FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({dot.format(a='a.embedding', b='b.embedding')}
+             / (sqrt({dot.format(a='a.embedding', b='a.embedding')})
+              * sqrt({dot.format(a='b.embedding', b='b.embedding')})), 6) AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id AND a.bkt = b.bkt
+WHERE round({dot.format(a='a.embedding', b='b.embedding')}
+            / (sqrt({dot.format(a='a.embedding', b='a.embedding')})
+             * sqrt({dot.format(a='b.embedding', b='b.embedding')})), 6) >= 0.4
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
     return multimodal.extract_features(media)
@@ -497,8 +565,10 @@ def queries() -> dict[str, QueryFn]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
         "frame_sample_plan": q_frame_sample_plan,
     }
@@ -519,8 +589,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "minhash_signatures": _minhash_sql(),
+        "minhash_lsh_pairs": _minhash_lsh_sql(),
         "simhash": _simhash_sql(),
         "ann_cosine_topk": SQL_ANN_TOPK,
+        "embedding_neardup": _embedding_neardup_sql(),
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "frame_sample_plan": SQL_FRAME_SAMPLE,
     }

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from typing import Any
@@ -154,6 +155,14 @@ class SnapshotTable:
 
     # ---------------- read ----------------
 
+    @property
+    def merge_mode(self) -> str:
+        return self.meta.get("properties", {}).get("write.merge.mode", "cow")
+
+    @property
+    def max_deltas_per_bucket(self) -> int:
+        return int(self.meta.get("properties", {}).get("mor.max-deltas-per-bucket", "8"))
+
     def _read_files(self, spark: SparkSession, files: list[dict[str, Any]]) -> DataFrame:
         """Read a set of data files, aligning every schema version to the
         current one (null-fill added columns, cast widened columns)."""
@@ -175,8 +184,19 @@ class SnapshotTable:
         return out
 
     def read_raw(self, spark: SparkSession) -> DataFrame:
-        """All physical rows incl. tombstones + system columns."""
-        return self._read_files(spark, self.meta["files"])
+        """All current rows incl. tombstones + system columns. Under MoR,
+        buckets carrying delta files are resolved at read time: per-key
+        arg-max over (wall, logical, seq) across base+deltas — identical
+        ordering to the CoW merge guard, so both modes yield the same
+        state. Delta-free buckets pass through without a shuffle."""
+        files = self.meta["files"]
+        delta_buckets = {fe["bucket"] for fe in files if fe.get("kind") == "delta"}
+        if not delta_buckets:
+            return self._read_files(spark, files)
+        plain = [fe for fe in files if fe["bucket"] not in delta_buckets]
+        mixed = [fe for fe in files if fe["bucket"] in delta_buckets]
+        resolved = _argmax_rows(self._read_files(spark, mixed), self.pk_col)
+        return self._read_files(spark, plain).unionByName(resolved)
 
     def read_state(self, spark: SparkSession) -> DataFrame:
         """User-facing table state (live rows, user columns)."""
@@ -186,6 +206,29 @@ class SnapshotTable:
     # ---------------- merge ----------------
 
     def merge(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        batch_key: str,
+        frontier_hlc: str | None = None,
+        broadcast_threshold: int = 2_000_000,
+    ) -> dict[str, Any]:
+        """Dispatch on the table's write mode:
+
+        * ``cow`` (default) — copy-on-write: join against touched buckets,
+          rewrite them. Read-optimized; write cost ∝ touched-bucket size.
+        * ``mor`` — merge-on-read: append the deduped updates as delta
+          files (NO join, write cost ∝ update count); readers resolve
+          per-key arg-max lazily; buckets auto-compact when their delta
+          count exceeds ``mor.max-deltas-per-bucket``. This is the
+          update-heavy-workload mode: a micro-batch touching 1% of keys in
+          every bucket writes 1% of the data instead of 100%.
+        """
+        if self.merge_mode == "mor":
+            return self._merge_mor(spark, updates, batch_key, frontier_hlc)
+        return self._merge_cow(spark, updates, batch_key, frontier_hlc, broadcast_threshold)
+
+    def _merge_cow(
         self,
         spark: SparkSession,
         updates: DataFrame,
@@ -210,75 +253,76 @@ class SnapshotTable:
         user_cols = [f.name for f in user_fields]
         nb = self.meta["num_buckets"]
 
-        u = updates.withColumn("_bucket", F.pmod(F.xxhash64(F.col(pk)), F.lit(nb)).cast("int"))
-        # cache: the deduped update set (1 row/pk) is consulted three times
-        # (count, touched-bucket probe, join) — without this the upstream
-        # parse+dedup plan would re-execute each time
-        u = u.persist()
-        # one job yields both the update count and the touched-bucket set
-        # (arg-max dedup upstream guarantees 1 row/pk)
-        bucket_counts = u.groupBy("_bucket").count().collect()
-        n_updates = int(sum(r["count"] for r in bucket_counts))
-        touched = sorted(r["_bucket"] for r in bucket_counts)
-
-        target_files = [fe for fe in self.meta["files"] if fe["bucket"] in touched]
-        carry_files = [fe for fe in self.meta["files"] if fe["bucket"] not in touched]
-        tgt = self._read_files(spark, target_files)
-
-        # normalize updates → physical row image
-        u_rows = u.select(
+        # ONE pass over the (parse→dedup) update chain: normalize to the
+        # physical row image and stage it as parquet. Downstream consumers
+        # (bucket probe, both join sides) read the staged columnar files —
+        # deliberately NOT .persist(): Spark's in-memory cache collapses on
+        # nested array/struct rows (70s+ builds vs a sub-second parquet
+        # round-trip) and the update count comes free from the footers.
+        u_rows_plan = updates.select(
             *[F.col(c) for c in user_cols],
-            F.col("_bucket"),
+            F.pmod(F.xxhash64(F.col(pk)), F.lit(nb)).cast("int").alias("_bucket"),
             (F.col("op") == "d").alias("_deleted"),
             F.col("commit_wall_ns").alias("_commit_wall_ns"),
             F.col("commit_logical").alias("_commit_logical"),
             F.col("seq").alias("_commit_seq"),
         )
-        if n_updates <= broadcast_threshold:
-            u_rows = F.broadcast(u_rows)
+        staging = os.path.join(self.path, "staging", batch_key.replace(":", "_"))
+        # repartition on _bucket so partitionBy emits ≤1 file per bucket
+        # (without it every task writes a sliver into every bucket dir)
+        par_u = min(nb, max(spark.sparkContext.defaultParallelism, 1) * 2)
+        u_rows_plan.repartition(par_u, "_bucket").write.mode("overwrite").partitionBy("_bucket").parquet(staging)
+        n_updates, per_bucket = _staged_stats(staging)
+        touched = sorted(per_bucket)
+        target_files = [fe for fe in self.meta["files"] if fe["bucket"] in touched]
+        carry_files = [fe for fe in self.meta["files"] if fe["bucket"] not in touched]
 
-        tgt_b = tgt.withColumn("_bucket", F.pmod(F.xxhash64(F.col(pk)), F.lit(nb)).cast("int"))
-
-        newer = _commit_gt("u", "t")
         obs = Observation()
-
-        # matched path: keep target unless the update is strictly newer
-        tcols = [F.col(f"t.{c}") for c in user_cols + ["_bucket"] + META_COLS]
-        ucols = [F.col(f"u.{c}") for c in user_cols + ["_bucket"] + META_COLS]
-        matched = (
-            tgt_b.alias("t")
-            .join(u_rows.alias("u"), on=F.col(f"t.{pk}") == F.col(f"u.{pk}"), how="left")
-            .select(
-                F.when(F.col(f"u.{pk}").isNull() | ~newer, F.struct(*tcols))
-                .otherwise(F.struct(*ucols))
-                .alias("r"),
-                (F.col(f"u.{pk}").isNotNull() & newer).alias("_applied"),
-                F.col(f"u.{pk}").isNotNull().alias("_matched"),
-            )
-        )
-        # not-matched path: brand-new keys (incl. tombstones for deletes of
-        # unseen keys — guards against late older inserts resurrecting them)
-        unmatched = (
-            u_rows.alias("u")
-            .join(tgt_b.select(pk).alias("t"), on=F.col(f"u.{pk}") == F.col(f"t.{pk}"), how="left_anti")
-            .select(F.struct(*[F.col(c) for c in user_cols + ["_bucket"] + META_COLS]).alias("r"),
-                    F.lit(True).alias("_applied"), F.lit(False).alias("_matched"))
-        )
-        result = matched.unionByName(unmatched).select("r.*", "_applied", "_matched")
-        result = result.observe(
-            obs,
-            F.count(F.lit(1)).alias("rows_written"),
-            F.sum(F.when(F.col("_applied") & F.col("_matched") & F.col("_deleted"), 1).otherwise(0)).alias("deleted"),
-            F.sum(F.when(F.col("_applied") & F.col("_matched") & ~F.col("_deleted"), 1).otherwise(0)).alias("updated"),
-            F.sum(F.when(F.col("_applied") & ~F.col("_matched"), 1).otherwise(0)).alias("inserted"),
-            F.sum(F.when(~F.col("_applied") & F.col("_matched"), 1).otherwise(0)).alias("stale_or_kept"),
-        ).drop("_applied", "_matched")
-
         new_version = self.meta["version"] + 1
         rel_dir = f"data/v{new_version}"
         out_dir = os.path.join(self.path, rel_dir)
         new_files: list[dict[str, Any]] = []
         if touched:
+            u_rows = spark.read.parquet(staging)  # partition discovery restores _bucket
+            if n_updates <= broadcast_threshold:
+                u_rows = F.broadcast(u_rows)
+
+            tgt = self._read_files(spark, target_files)
+            tgt_b = tgt.withColumn("_bucket", F.pmod(F.xxhash64(F.col(pk)), F.lit(nb)).cast("int"))
+
+            newer = _commit_gt("u", "t")
+            # matched path: keep target unless the update is strictly newer
+            tcols = [F.col(f"t.{c}") for c in user_cols + ["_bucket"] + META_COLS]
+            ucols = [F.col(f"u.{c}") for c in user_cols + ["_bucket"] + META_COLS]
+            matched = (
+                tgt_b.alias("t")
+                .join(u_rows.alias("u"), on=F.col(f"t.{pk}") == F.col(f"u.{pk}"), how="left")
+                .select(
+                    F.when(F.col(f"u.{pk}").isNull() | ~newer, F.struct(*tcols))
+                    .otherwise(F.struct(*ucols))
+                    .alias("r"),
+                    (F.col(f"u.{pk}").isNotNull() & newer).alias("_applied"),
+                    F.col(f"u.{pk}").isNotNull().alias("_matched"),
+                )
+            )
+            # not-matched path: brand-new keys (incl. tombstones for deletes
+            # of unseen keys — guards against late older inserts
+            # resurrecting them)
+            unmatched = (
+                u_rows.alias("u")
+                .join(tgt_b.select(pk).alias("t"), on=F.col(f"u.{pk}") == F.col(f"t.{pk}"), how="left_anti")
+                .select(F.struct(*[F.col(c) for c in user_cols + ["_bucket"] + META_COLS]).alias("r"),
+                        F.lit(True).alias("_applied"), F.lit(False).alias("_matched"))
+            )
+            result = matched.unionByName(unmatched).select("r.*", "_applied", "_matched")
+            result = result.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows_written"),
+                F.sum(F.when(F.col("_applied") & F.col("_matched") & F.col("_deleted"), 1).otherwise(0)).alias("deleted"),
+                F.sum(F.when(F.col("_applied") & F.col("_matched") & ~F.col("_deleted"), 1).otherwise(0)).alias("updated"),
+                F.sum(F.when(F.col("_applied") & ~F.col("_matched"), 1).otherwise(0)).alias("inserted"),
+                F.sum(F.when(~F.col("_applied") & F.col("_matched"), 1).otherwise(0)).alias("stale_or_kept"),
+            ).drop("_applied", "_matched")
             # partitionBy splits files per bucket regardless; the repartition
             # count only sets write parallelism — cap it near the core count
             # so tiny merges don't schedule one task per bucket
@@ -316,8 +360,166 @@ class SnapshotTable:
         stats.update({"n_updates": n_updates, "touched_buckets": len(touched)})
         meta["summary"] = {"op": "merge", "batch_key": batch_key, **stats, "committed_at": time.time()}
         self._write_version(meta)
-        u.unpersist()
+        shutil.rmtree(staging, ignore_errors=True)
         return {"skipped": False, "batch_key": batch_key, "version": new_version, **stats}
+
+
+    def _merge_mor(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        batch_key: str,
+        frontier_hlc: str | None = None,
+    ) -> dict[str, Any]:
+        """Append-only apply: normalized update rows land as delta files in
+        their buckets; no target scan, no join. Exactly-once and the
+        commit-ts guard hold because read-time resolution is the same
+        arg-max the CoW guard implements."""
+        if batch_key in self.meta["applied"]:
+            return {"skipped": True, "batch_key": batch_key, "version": self.meta["version"]}
+
+        pk = self.pk_col
+        user_cols = [f.name for f in self.schema.fields]
+        nb = self.meta["num_buckets"]
+
+        u_rows = updates.select(
+            *[F.col(c) for c in user_cols],
+            F.pmod(F.xxhash64(F.col(pk)), F.lit(nb)).cast("int").alias("_bucket"),
+            (F.col("op") == "d").alias("_deleted"),
+            F.col("commit_wall_ns").alias("_commit_wall_ns"),
+            F.col("commit_logical").alias("_commit_logical"),
+            F.col("seq").alias("_commit_seq"),
+        )
+        # ONE Spark pass total: the delta write IS the apply; update count
+        # and touched buckets come from the written parquet footers
+        new_version = self.meta["version"] + 1
+        rel_dir = f"data/v{new_version}"
+        out_dir = os.path.join(self.path, rel_dir)
+        par_u = min(nb, max(spark.sparkContext.defaultParallelism, 1) * 2)
+        u_rows.repartition(par_u, "_bucket").write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
+        n_updates, per_bucket = _staged_stats(out_dir)
+        touched = sorted(per_bucket)
+        new_files: list[dict[str, Any]] = []
+        sid = self.meta["current_schema_id"]
+        for bdir in sorted(os.listdir(out_dir)):
+            if not bdir.startswith("_bucket="):
+                continue
+            b = int(bdir.split("=")[1])
+            for fn in sorted(os.listdir(os.path.join(out_dir, bdir))):
+                if fn.endswith(".parquet"):
+                    new_files.append(
+                        {"path": f"{rel_dir}/{bdir}/{fn}", "bucket": b,
+                         "schema_id": sid, "kind": "delta"}
+                    )
+
+        meta = json.loads(json.dumps(self.meta))
+        meta["version"] = new_version
+        meta["files"] = meta["files"] + new_files
+        meta["applied"][batch_key] = new_version
+        if frontier_hlc:
+            from ..functions.hlc import parse_hlc
+
+            wall, logical = parse_hlc(frontier_hlc)
+            if (wall, logical) >= (meta["frontier"]["wall_ns"], meta["frontier"]["logical"]):
+                meta["frontier"] = {"wall_ns": wall, "logical": logical, "hlc": frontier_hlc}
+        stats = {"n_updates": n_updates, "touched_buckets": len(touched),
+                 "delta_files": len(new_files)}
+        meta["summary"] = {"op": "merge-mor", "batch_key": batch_key, **stats,
+                           "committed_at": time.time()}
+        self._write_version(meta)
+
+        # auto-compaction: buckets whose delta pile exceeds the threshold
+        # collapse back to a single base file (separate commit — readers of
+        # the prior snapshot are unaffected)
+        per_bucket: dict[int, int] = {}
+        for fe in meta["files"]:
+            if fe.get("kind") == "delta":
+                per_bucket[fe["bucket"]] = per_bucket.get(fe["bucket"], 0) + 1
+        to_compact = sorted(b for b, n in per_bucket.items() if n > self.max_deltas_per_bucket)
+        if to_compact:
+            stats["compacted_buckets"] = len(to_compact)
+            self.compact(spark, to_compact)
+        return {"skipped": False, "batch_key": batch_key, "version": self.meta["version"], **stats}
+
+    def compact(self, spark: SparkSession, buckets: list[int] | None = None) -> dict[str, Any]:
+        """Collapse base+delta files of the given buckets (default: every
+        bucket with deltas) into fresh base files via read-time arg-max."""
+        files = self.meta["files"]
+        if buckets is None:
+            buckets = sorted({fe["bucket"] for fe in files if fe.get("kind") == "delta"})
+        bucket_set = set(buckets)
+        victims = [fe for fe in files if fe["bucket"] in bucket_set]
+        keep = [fe for fe in files if fe["bucket"] not in bucket_set]
+        if not victims:
+            return {"compacted": 0, "version": self.meta["version"]}
+        resolved = _argmax_rows(self._read_files(spark, victims), self.pk_col)
+        # tombstone GC: the resolved-timestamp frontier guarantees no event
+        # below it can still arrive (W1), so a delete tombstone older than
+        # the frontier has nothing left to guard against — purge it
+        frontier_wall = int(self.meta["frontier"]["wall_ns"])
+        if frontier_wall > 0:
+            resolved = resolved.filter(
+                ~(F.col("_deleted") & (F.col("_commit_wall_ns") < frontier_wall))
+            )
+        resolved = resolved.withColumn(
+            "_bucket",
+            F.pmod(F.xxhash64(F.col(self.pk_col)), F.lit(self.meta["num_buckets"])).cast("int"),
+        )
+        new_version = self.meta["version"] + 1
+        rel_dir = f"data/v{new_version}"
+        out_dir = os.path.join(self.path, rel_dir)
+        par = min(len(bucket_set), max(spark.sparkContext.defaultParallelism, 1) * 2)
+        resolved.repartition(par, "_bucket").write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
+        sid = self.meta["current_schema_id"]
+        new_files = []
+        for bdir in sorted(os.listdir(out_dir)):
+            if not bdir.startswith("_bucket="):
+                continue
+            b = int(bdir.split("=")[1])
+            for fn in sorted(os.listdir(os.path.join(out_dir, bdir))):
+                if fn.endswith(".parquet"):
+                    new_files.append({"path": f"{rel_dir}/{bdir}/{fn}", "bucket": b, "schema_id": sid})
+        meta = json.loads(json.dumps(self.meta))
+        meta["version"] = new_version
+        meta["files"] = keep + new_files
+        meta["summary"] = {"op": "compact", "buckets": buckets, "committed_at": time.time()}
+        self._write_version(meta)
+        return {"compacted": len(buckets), "version": new_version}
+
+
+def _staged_stats(root: str) -> tuple[int, dict[int, int]]:
+    """(total rows, rows per bucket) of a ``_bucket=``-partitioned parquet
+    dir, read from file footers — driver-side metadata only, no Spark job
+    (exactly what Iceberg manifests store)."""
+    import pyarrow.parquet as pq
+
+    per_bucket: dict[int, int] = {}
+    if not os.path.isdir(root):
+        return 0, per_bucket
+    for bdir in os.listdir(root):
+        if not bdir.startswith("_bucket="):
+            continue
+        b = int(bdir.split("=")[1])
+        n = 0
+        for fn in os.listdir(os.path.join(root, bdir)):
+            if fn.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(root, bdir, fn)).metadata.num_rows
+        if n:
+            per_bucket[b] = n
+    return sum(per_bucket.values()), per_bucket
+
+
+def _argmax_rows(df: DataFrame, pk_col: str) -> DataFrame:
+    """One surviving physical row per key by max (wall, logical, seq) —
+    the read-time twin of the CoW merge guard."""
+    others = [c for c in df.columns if c != pk_col]
+    ordering = ["_commit_wall_ns", "_commit_logical", "_commit_seq"]
+    packed = F.struct(*[F.col(c) for c in ordering], *[F.col(c) for c in others if c not in ordering])
+    out = df.groupBy(pk_col).agg(F.max(packed).alias("_w"))
+    cols = [F.col(pk_col)] + [F.col(f"_w.{c}").alias(c) for c in ordering] + [
+        F.col(f"_w.{c}").alias(c) for c in others if c not in ordering
+    ]
+    return out.select(*cols).select(*df.columns)
 
 
 def _commit_gt(a: str, b: str):

@@ -174,68 +174,69 @@ class CDCPipeline:
         ).collect()[0]
 
     def process_batch(self, raw: DataFrame, batch_id: int) -> dict[str, Any]:
+        # NOTE deliberately NO .persist() on the parsed batch: Spark's
+        # in-memory columnar cache degrades badly on nested struct/array
+        # rows (measured 1.6s parse vs 70s+ cache build, anti-scaling with
+        # cores). Re-running the codegen'd parse for the second pass is far
+        # cheaper and scales linearly.
         t0 = time.time()
-        parsed = parse_changefeed(raw, self.specs, self.cfg.pk_name).persist()
-        try:
+        parsed = parse_changefeed(raw, self.specs, self.cfg.pk_name)
+        agg = self._batch_agg(parsed)
+        if self._maybe_evolve(agg["key_sets"]):
+            # rare path: re-parse the batch under the refreshed schema
+            # (E2/E3 — backlog events convert against the new schema)
+            parsed = parse_changefeed(raw, self.specs, self.cfg.pk_name)
             agg = self._batch_agg(parsed)
-            if self._maybe_evolve(agg["key_sets"]):
-                # rare path: re-parse the batch under the refreshed schema
-                # (E2/E3 — backlog events convert against the new schema)
-                parsed.unpersist()
-                parsed = parse_changefeed(raw, self.specs, self.cfg.pk_name).persist()
-                agg = self._batch_agg(parsed)
 
-            frontier = None
-            if agg["fr"] is not None:
-                frontier = f"{agg['fr']['w']}.{agg['fr']['l']:010d}"
+        frontier = None
+        if agg["fr"] is not None:
+            frontier = f"{agg['fr']['w']}.{agg['fr']['l']:010d}"
 
-            n_raw = int(agg["n_raw"])
-            n_control = int(agg["n_control"] or 0)
-            n_malformed = int(agg["n_malformed"] or 0)
+        n_raw = int(agg["n_raw"])
+        n_control = int(agg["n_control"] or 0)
+        n_malformed = int(agg["n_malformed"] or 0)
 
-            # idle fast path (W3): nothing to merge and no frontier to
-            # advance — commit only the checkpoint; replaying this batch is
-            # a no-op so no applied-key record is needed
-            if n_raw == n_control and frontier is None and n_malformed == 0:
-                stats = {"skipped": False, "version": self.table.meta["version"],
-                         "n_updates": 0, "n_raw": n_raw, "n_control": n_control,
-                         "n_data": 0, "n_malformed": 0, "n_keyless": 0,
-                         "min_seq": agg["min_seq"], "max_seq": agg["max_seq"],
-                         "frontier_hlc": None}
-                self._write_metrics(batch_id, "stream", stats,
-                                    extra={"wall_ms": (time.time() - t0) * 1e3})
-                return stats
-
-            # quarantine poison records instead of killing the stream (X3 —
-            # replaying a malformed byte stream never heals, so a dead-letter
-            # table is the distributed-sane version of "retriable")
-            if self.cfg.errors_path and n_malformed > 0:
-                bad_seqs = parsed.filter(F.col("is_malformed")).select(F.col("seq").alias("offset"))
-                raw.join(bad_seqs, "offset", "left_semi").withColumn(
-                    "batch_id", F.lit(batch_id)
-                ).write.mode("append").parquet(self.cfg.errors_path)
-
-            # keyless rows (no after image, no usable message key) can never
-            # be merged — dropped and surfaced via metrics
-            data = parsed.filter(~F.col("is_control") & F.col("pk").isNotNull())
-            deduped = dedupe_batch(data, "pk")
-            updates = self._to_updates(deduped)
-            stats = self.table.merge(
-                self.spark,
-                updates,
-                batch_key=f"stream:{batch_id}",
-                frontier_hlc=frontier,
-                broadcast_threshold=self.cfg.broadcast_threshold,
-            )
-            stats.update(
-                n_raw=n_raw, n_control=n_control, n_data=n_raw - n_control,
-                n_malformed=n_malformed, n_keyless=int(agg["n_keyless"] or 0),
-                min_seq=agg["min_seq"], max_seq=agg["max_seq"], frontier_hlc=frontier,
-            )
-            self._write_metrics(batch_id, "stream", stats, extra={"wall_ms": (time.time() - t0) * 1e3})
+        # idle fast path (W3): nothing to merge and no frontier to
+        # advance — commit only the checkpoint; replaying this batch is
+        # a no-op so no applied-key record is needed
+        if n_raw == n_control and frontier is None and n_malformed == 0:
+            stats = {"skipped": False, "version": self.table.meta["version"],
+                     "n_updates": 0, "n_raw": n_raw, "n_control": n_control,
+                     "n_data": 0, "n_malformed": 0, "n_keyless": 0,
+                     "min_seq": agg["min_seq"], "max_seq": agg["max_seq"],
+                     "frontier_hlc": None}
+            self._write_metrics(batch_id, "stream", stats,
+                                extra={"wall_ms": (time.time() - t0) * 1e3})
             return stats
-        finally:
-            parsed.unpersist()
+
+        # quarantine poison records instead of killing the stream (X3 —
+        # replaying a malformed byte stream never heals, so a dead-letter
+        # table is the distributed-sane version of "retriable")
+        if self.cfg.errors_path and n_malformed > 0:
+            bad_seqs = parsed.filter(F.col("is_malformed")).select(F.col("seq").alias("offset"))
+            raw.join(bad_seqs, "offset", "left_semi").withColumn(
+                "batch_id", F.lit(batch_id)
+            ).write.mode("append").parquet(self.cfg.errors_path)
+
+        # keyless rows (no after image, no usable message key) can never
+        # be merged — dropped and surfaced via metrics
+        data = parsed.filter(~F.col("is_control") & F.col("pk").isNotNull())
+        deduped = dedupe_batch(data, "pk")
+        updates = self._to_updates(deduped)
+        stats = self.table.merge(
+            self.spark,
+            updates,
+            batch_key=f"stream:{batch_id}",
+            frontier_hlc=frontier,
+            broadcast_threshold=self.cfg.broadcast_threshold,
+        )
+        stats.update(
+            n_raw=n_raw, n_control=n_control, n_data=n_raw - n_control,
+            n_malformed=n_malformed, n_keyless=int(agg["n_keyless"] or 0),
+            min_seq=agg["min_seq"], max_seq=agg["max_seq"], frontier_hlc=frontier,
+        )
+        self._write_metrics(batch_id, "stream", stats, extra={"wall_ms": (time.time() - t0) * 1e3})
+        return stats
 
     def _to_updates(self, deduped: DataFrame) -> DataFrame:
         """Winner events → merge-ready update rows (pk column always

@@ -137,3 +137,74 @@ def test_empty_merge_commits_frontier(spark, tmp_table_dir):
     assert t2.meta["frontier"]["wall_ns"] == 12345
     assert t2.meta["frontier"]["logical"] == 1
     assert "b1" in t2.meta["applied"]
+
+
+# ---------------- merge-on-read mode ----------------
+
+def mk_mor(tmp_table_dir, buckets=4, max_deltas=3):
+    return SnapshotTable.create(
+        tmp_table_dir, SCHEMA, "doc_id", num_buckets=buckets,
+        properties={"write.merge.mode": "mor", "mor.max-deltas-per-bucket": str(max_deltas)},
+    )
+
+
+def test_mor_matches_cow_semantics(spark, tmp_path):
+    """Same batch sequence through CoW and MoR → identical final state
+    (incl. stale-update guard, delete tombstones, same-HLC tie-break)."""
+    batches = [
+        ("b1", [("a", [1], 1, "cc", "c", 100, 0, 1), ("b", [2], 1, "cc", "c", 100, 0, 2)]),
+        ("b2", [("a", [9, 9], 2, "cc", "u", 200, 0, 3), ("c", [3], 1, "web", "c", 150, 0, 4)]),
+        ("b3", [("b", None, None, None, "d", 300, 0, 5)]),
+        ("b4", [("a", [1], 1, "cc", "u", 50, 0, 9)]),   # stale → no-op
+        ("b5", [("b", [7], 1, "cc", "c", 250, 0, 10)]),  # older than delete → stays dead
+    ]
+    cow = SnapshotTable.create(str(tmp_path / "cow"), SCHEMA, "doc_id", num_buckets=4)
+    mor = mk_mor(str(tmp_path / "mor"))
+    for key, rows in batches:
+        cow.merge(spark, upd(spark, rows), key)
+        mor.merge(spark, upd(spark, rows), key)
+    s_cow = state(spark, cow)
+    s_mor = state(spark, mor)
+    assert {k: (list(v["tokens"]) if v["tokens"] else None) for k, v in s_cow.items()} == \
+           {k: (list(v["tokens"]) if v["tokens"] else None) for k, v in s_mor.items()}
+    assert set(s_mor) == {"a", "c"}
+
+
+def test_mor_writes_deltas_not_rewrites(spark, tmp_path):
+    mor = mk_mor(str(tmp_path / "mor"), max_deltas=100)
+    rows = [(f"k{i}", [i], 1, "cc", "c", 100, 0, i) for i in range(64)]
+    mor.merge(spark, upd(spark, rows), "b1")
+    files_v1 = {f["path"] for f in SnapshotTable.load(mor.path).meta["files"]}
+    mor.merge(spark, upd(spark, [("k3", [99], 1, "cc", "u", 200, 0, 99)]), "b2")
+    meta = SnapshotTable.load(mor.path).meta
+    # every v1 file carried over untouched; exactly one new delta file
+    assert files_v1 <= {f["path"] for f in meta["files"]}
+    new = [f for f in meta["files"] if f["path"] not in files_v1]
+    assert len(new) == 1 and new[0]["kind"] == "delta"
+    assert list(state(spark, mor)["k3"]["tokens"]) == [99]
+
+
+def test_mor_auto_compaction_and_tombstone_gc(spark, tmp_path):
+    mor = mk_mor(str(tmp_path / "mor"), buckets=2, max_deltas=2)
+    for i in range(4):
+        mor.merge(spark, upd(spark, [("a", [i], 1, "cc", "u", 100 + i, 0, i)]), f"b{i}")
+    meta = SnapshotTable.load(mor.path).meta
+    deltas = [f for f in meta["files"] if f.get("kind") == "delta"]
+    assert len(deltas) <= 2  # compaction collapsed the pile
+    assert list(state(spark, mor)["a"]["tokens"]) == [3]
+    # tombstone GC: delete below the frontier disappears after compaction
+    mor2 = SnapshotTable.load(mor.path)
+    mor2.merge(spark, upd(spark, [("a", None, None, None, "d", 500, 0, 50)]), "bd",
+               frontier_hlc="1000.0000000000")
+    mor2.compact(spark)
+    raw = mor2.read_raw(spark).collect()
+    assert all(not r["_deleted"] for r in raw), "GC'd tombstone should be gone"
+    assert state(spark, mor2) == {}
+
+
+def test_mor_replay_skipped(spark, tmp_path):
+    mor = mk_mor(str(tmp_path / "mor"))
+    mor.merge(spark, upd(spark, [("a", [1], 1, "cc", "c", 100, 0, 1)]), "b1")
+    r = mor.merge(spark, upd(spark, [("a", [9], 1, "cc", "u", 999, 0, 2)]), "b1")
+    assert r["skipped"] is True
+    assert list(state(spark, mor)["a"]["tokens"]) == [1]
