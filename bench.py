@@ -34,6 +34,7 @@ N_EVENTS = int(os.environ.get("BENCH_EVENTS", "2000000"))
 N_KEYS = int(os.environ.get("BENCH_KEYS", "200000"))
 HOT_PCT = int(os.environ.get("BENCH_HOT_PCT", "10"))
 N_FILES = int(os.environ.get("BENCH_FILES", "32"))
+MERGE_MODE = os.environ.get("BENCH_MODE", "cow")  # cow | mor
 
 
 def build_spark(cpus: int):
@@ -83,6 +84,7 @@ def bench_cdc_apply(spark) -> tuple[float, dict]:
         # fixed costs (commit, listing, planning) amortize over N_EVENTS/4
         max_files_per_trigger=max(N_FILES // 4, 1),
         collect_metrics=True,
+        merge_mode=MERGE_MODE,
     )
     pipe = CDCPipeline(spark, icfg)
     t0 = time.time()
@@ -96,6 +98,7 @@ def bench_cdc_apply(spark) -> tuple[float, dict]:
         "n_log_records": n_records,
         "n_final_rows": n_state,
         "events_per_sec": round(n_records / dt, 1),
+        "merge_mode": MERGE_MODE,
     }
 
 
@@ -122,7 +125,7 @@ def main() -> None:
     cdc_dt, cdc_stats = bench_cdc_apply(spark)
     timings["cdc_full_apply"] = round(cdc_dt, 3)
 
-    for name in OPERATOR_BENCH:
+    for name in [] if os.environ.get("BENCH_SKIP_OPERATORS") else OPERATOR_BENCH:
         fn = qs[name]
         t0 = time.time()
         n = fn(spark, SF_DIR).count()

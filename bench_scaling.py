@@ -22,7 +22,8 @@ N4 = 4 * N
 
 
 def run_at(cpus: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    # scaling evidence only needs the CDC apply job; skip the operator suite
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_SKIP_OPERATORS="1")
     p = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, env=env, timeout=3600,

@@ -31,6 +31,10 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # ObjectHashAggregate (struct/array aggregates) falls back to
+        # sort-based beyond 128 groups by default — pathological for
+        # arg-max aggs over many keys; keep it hashing
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")

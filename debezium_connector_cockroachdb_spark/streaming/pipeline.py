@@ -84,10 +84,23 @@ class IngestConfig:
     collect_metrics: bool = True
     broadcast_threshold: int = 2_000_000
     errors_path: str | None = None  # dead-letter quarantine for poison events (X3)
+    merge_mode: str = "cow"  # "cow" (read-optimized) | "mor" (write-optimized)
+    mor_max_deltas_per_bucket: int = 8
+    # "poll": check the schema registry's version once per micro-batch
+    #   (O(1) driver-side; evolving one batch early is safe — add-column and
+    #   widen are backward compatible, pre-DDL rows null-fill either way).
+    # "exact": reference-faithful per-event field comparison — every batch
+    #   scans the raw after-image keys; unknown fields not in the registry
+    #   fail the batch retriably (dbz#2322). ~10x parse-cost overhead.
+    drift_mode: str = "poll"
 
     def __post_init__(self) -> None:
         if self.snapshot_mode not in SNAPSHOT_MODES:
             raise ValueError(f"unknown snapshot.mode {self.snapshot_mode!r}")
+        if self.merge_mode not in ("cow", "mor"):
+            raise ValueError(f"unknown merge_mode {self.merge_mode!r}")
+        if self.drift_mode not in ("poll", "exact"):
+            raise ValueError(f"unknown drift_mode {self.drift_mode!r}")
 
 
 def load_registry_specs(log_dir: str) -> tuple[int, list[ColumnSpec]]:
@@ -115,7 +128,11 @@ class CDCPipeline:
             self.table = SnapshotTable.load(cfg.table_path)
         else:
             self.table = SnapshotTable.create(
-                cfg.table_path, user_schema(self.specs), cfg.pk_name, cfg.num_buckets
+                cfg.table_path, user_schema(self.specs), cfg.pk_name, cfg.num_buckets,
+                properties={
+                    "write.merge.mode": cfg.merge_mode,
+                    "mor.max-deltas-per-bucket": str(cfg.mor_max_deltas_per_bucket),
+                },
             )
 
     # ------------- snapshot phase (W4) -------------
@@ -151,10 +168,24 @@ class CDCPipeline:
 
     # ------------- micro-batch apply -------------
 
-    def _batch_agg(self, parsed: DataFrame):
+    def _poll_registry(self) -> None:
+        """drift_mode="poll": evolve when the registry advertises a newer
+        schema version — one glob + json read on the driver, zero per-row
+        cost. The registry is this engine's information_schema."""
+        ver, specs = load_registry_specs(self.cfg.log_dir)
+        if ver != self.registry_version:
+            self.specs = specs
+            self.registry_version = ver
+            self.table.evolve_schema(user_schema(specs))
+
+    def _batch_agg(self, parsed: DataFrame, with_keys: bool = True):
         """ONE pass over the batch: counts, offset lineage, resolved
-        frontier, and the distinct after-image key sets for drift detection
+        frontier, and (exact drift mode) the distinct after-image key sets
         (E1) — all map-side combined into a single collected row."""
+        key_sets = (
+            F.collect_set(F.to_json("after_keys")) if with_keys
+            else F.first(F.lit(None).cast("string"), ignorenulls=True)
+        )
         return parsed.agg(
             F.count(F.lit(1)).alias("n_raw"),
             F.sum(F.when(F.col("is_control"), 1).otherwise(0)).alias("n_control"),
@@ -170,7 +201,7 @@ class CDCPipeline:
             ).alias("fr"),
             # key-set variants are few (schema changes are rare), so the
             # set stays tiny even on 10^7-row batches
-            F.collect_set(F.to_json("after_keys")).alias("key_sets"),
+            key_sets.alias("key_sets"),
         ).collect()[0]
 
     def process_batch(self, raw: DataFrame, batch_id: int) -> dict[str, Any]:
@@ -180,13 +211,16 @@ class CDCPipeline:
         # cores). Re-running the codegen'd parse for the second pass is far
         # cheaper and scales linearly.
         t0 = time.time()
-        parsed = parse_changefeed(raw, self.specs, self.cfg.pk_name)
-        agg = self._batch_agg(parsed)
-        if self._maybe_evolve(agg["key_sets"]):
+        exact = self.cfg.drift_mode == "exact"
+        if not exact:
+            self._poll_registry()
+        parsed = parse_changefeed(raw, self.specs, self.cfg.pk_name, with_drift_keys=exact)
+        agg = self._batch_agg(parsed, with_keys=exact)
+        if exact and self._maybe_evolve(agg["key_sets"]):
             # rare path: re-parse the batch under the refreshed schema
             # (E2/E3 — backlog events convert against the new schema)
-            parsed = parse_changefeed(raw, self.specs, self.cfg.pk_name)
-            agg = self._batch_agg(parsed)
+            parsed = parse_changefeed(raw, self.specs, self.cfg.pk_name, with_drift_keys=True)
+            agg = self._batch_agg(parsed, with_keys=True)
 
         frontier = None
         if agg["fr"] is not None:
@@ -219,8 +253,12 @@ class CDCPipeline:
             ).write.mode("append").parquet(self.cfg.errors_path)
 
         # keyless rows (no after image, no usable message key) can never
-        # be merged — dropped and surfaced via metrics
-        data = parsed.filter(~F.col("is_control") & F.col("pk").isNotNull())
+        # be merged — dropped and surfaced via metrics. Project to the
+        # apply-relevant columns BEFORE dedup so the arg-max join never
+        # carries before-images/topic strings (shuffle-payload prune).
+        data = parsed.filter(~F.col("is_control") & F.col("pk").isNotNull()).select(
+            "pk", "commit_wall_ns", "commit_logical", "seq", "op", "after"
+        )
         deduped = dedupe_batch(data, "pk")
         updates = self._to_updates(deduped)
         stats = self.table.merge(

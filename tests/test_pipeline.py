@@ -179,3 +179,42 @@ def test_poison_event_quarantined(spark, tmp_path):
     assert pipe.read_state().count() == n_before
     errs = spark.read.parquet(icfg.errors_path).collect()
     assert len(errs) == 1 and errs[0]["value"].startswith("NOT JSON")
+
+
+def test_exact_drift_mode_evolves_and_fails_on_unknown(spark, tmp_path):
+    """drift_mode="exact": per-batch field-set comparison (reference-
+    faithful E1). Known-in-registry drift evolves; a field the registry
+    has never heard of fails the batch retriably (dbz#2322)."""
+    from pyspark.sql import Row
+
+    gcfg, icfg, log_dir, seed = build_env(
+        spark, tmp_path, cfg_kw={"evolve_at": 400}, ingest_kw={"drift_mode": "exact"}
+    )
+    pipe = CDCPipeline(spark, icfg)
+    pipe.run_to_completion(seed_df=seed)
+    assert "lang" in [f.name for f in pipe.table.schema.fields]
+    got = normalize(pipe.read_state().collect())
+    oracle = run_oracle(spark, log_dir, seed)
+    for v in oracle.values():
+        v.setdefault("lang", None)
+    assert_state_equal(got, oracle)
+
+    rogue = spark.createDataFrame(
+        [Row(topic="t", partition=0, offset=10**9, ts_ms=0, key='["zz"]',
+             value='{"after":{"doc_id":"zz","tokens":[1],"n_tok":1,"source":"cc","mystery":1},"op":"c","ts_ns":1}')],
+        "topic string, partition int, offset long, ts_ms long, key string, value string",
+    )
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="mystery"):
+        pipe.process_batch(rogue, batch_id=12345)
+
+
+def test_mor_pipeline_end_to_end(spark, tmp_path):
+    """Full replay through merge-on-read mode matches the oracle too."""
+    gcfg, icfg, log_dir, seed = build_env(
+        spark, tmp_path, ingest_kw={"merge_mode": "mor", "mor_max_deltas_per_bucket": 2}
+    )
+    pipe = CDCPipeline(spark, icfg)
+    pipe.run_to_completion(seed_df=seed)
+    got = normalize(pipe.read_state().collect())
+    assert_state_equal(got, run_oracle(spark, log_dir, seed))
