@@ -212,8 +212,15 @@ class SnapshotTable:
         batch_key: str,
         frontier_hlc: str | None = None,
         broadcast_threshold: int = 2_000_000,
+        frontier_provider=None,
     ) -> dict[str, Any]:
-        """Dispatch on the table's write mode:
+        """Dispatch on the table's write mode.
+
+        ``frontier_provider`` (optional ``() -> str|None``) is consulted
+        right before the metadata commit — it lets callers derive the
+        resolved frontier from an ``observe()`` on the update plan itself
+        (available only after the staging action ran) instead of paying a
+        separate aggregation pass.
 
         * ``cow`` (default) — copy-on-write: join against touched buckets,
           rewrite them. Read-optimized; write cost ∝ touched-bucket size.
@@ -225,8 +232,8 @@ class SnapshotTable:
           every bucket writes 1% of the data instead of 100%.
         """
         if self.merge_mode == "mor":
-            return self._merge_mor(spark, updates, batch_key, frontier_hlc)
-        return self._merge_cow(spark, updates, batch_key, frontier_hlc, broadcast_threshold)
+            return self._merge_mor(spark, updates, batch_key, frontier_hlc, frontier_provider)
+        return self._merge_cow(spark, updates, batch_key, frontier_hlc, broadcast_threshold, frontier_provider)
 
     def _merge_cow(
         self,
@@ -235,6 +242,7 @@ class SnapshotTable:
         batch_key: str,
         frontier_hlc: str | None = None,
         broadcast_threshold: int = 2_000_000,
+        frontier_provider=None,
     ) -> dict[str, Any]:
         """Apply a deduped update set (ONE row per pk — caller runs
         ``dedupe_batch`` first; Iceberg MERGE has the same one-match-row
@@ -351,13 +359,15 @@ class SnapshotTable:
         meta["version"] = new_version
         meta["files"] = carry_files + new_files
         meta["applied"][batch_key] = new_version
+        if frontier_provider is not None and frontier_hlc is None:
+            frontier_hlc = frontier_provider()
         if frontier_hlc:
             from ..functions.hlc import parse_hlc
 
             wall, logical = parse_hlc(frontier_hlc)
             if (wall, logical) >= (meta["frontier"]["wall_ns"], meta["frontier"]["logical"]):
                 meta["frontier"] = {"wall_ns": wall, "logical": logical, "hlc": frontier_hlc}
-        stats.update({"n_updates": n_updates, "touched_buckets": len(touched)})
+        stats.update({"n_updates": n_updates, "touched_buckets": len(touched), "frontier_hlc": frontier_hlc})
         meta["summary"] = {"op": "merge", "batch_key": batch_key, **stats, "committed_at": time.time()}
         self._write_version(meta)
         shutil.rmtree(staging, ignore_errors=True)
@@ -370,6 +380,7 @@ class SnapshotTable:
         updates: DataFrame,
         batch_key: str,
         frontier_hlc: str | None = None,
+        frontier_provider=None,
     ) -> dict[str, Any]:
         """Append-only apply: normalized update rows land as delta files in
         their buckets; no target scan, no join. Exactly-once and the
@@ -416,6 +427,8 @@ class SnapshotTable:
         meta["version"] = new_version
         meta["files"] = meta["files"] + new_files
         meta["applied"][batch_key] = new_version
+        if frontier_provider is not None and frontier_hlc is None:
+            frontier_hlc = frontier_provider()
         if frontier_hlc:
             from ..functions.hlc import parse_hlc
 
@@ -423,7 +436,7 @@ class SnapshotTable:
             if (wall, logical) >= (meta["frontier"]["wall_ns"], meta["frontier"]["logical"]):
                 meta["frontier"] = {"wall_ns": wall, "logical": logical, "hlc": frontier_hlc}
         stats = {"n_updates": n_updates, "touched_buckets": len(touched),
-                 "delta_files": len(new_files)}
+                 "delta_files": len(new_files), "frontier_hlc": frontier_hlc}
         meta["summary"] = {"op": "merge-mor", "batch_key": batch_key, **stats,
                            "committed_at": time.time()}
         self._write_version(meta)

@@ -27,7 +27,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -212,67 +212,122 @@ class CDCPipeline:
         # cheaper and scales linearly.
         t0 = time.time()
         exact = self.cfg.drift_mode == "exact"
-        if not exact:
-            self._poll_registry()
-        parsed = parse_changefeed(raw, self.specs, self.cfg.pk_name, with_drift_keys=exact)
-        agg = self._batch_agg(parsed, with_keys=exact)
-        if exact and self._maybe_evolve(agg["key_sets"]):
-            # rare path: re-parse the batch under the refreshed schema
-            # (E2/E3 — backlog events convert against the new schema)
+        agg: dict[str, Any] | None = None
+        obs: Observation | None = None
+        frontier: str | None = None
+
+        if exact:
+            # reference-faithful two-pass path: the evolve decision must
+            # precede the apply, so the stats pass collects eagerly
             parsed = parse_changefeed(raw, self.specs, self.cfg.pk_name, with_drift_keys=True)
-            agg = self._batch_agg(parsed, with_keys=True)
+            row = self._batch_agg(parsed, with_keys=True)
+            if self._maybe_evolve(row["key_sets"]):
+                # rare: re-parse the batch under the refreshed schema
+                # (E2/E3 — backlog events convert against the new schema)
+                parsed = parse_changefeed(raw, self.specs, self.cfg.pk_name, with_drift_keys=True)
+                row = self._batch_agg(parsed, with_keys=True)
+            agg = {k: row[k] for k in ("n_raw", "n_control", "n_malformed", "n_keyless", "min_seq", "max_seq")}
+            if row["fr"] is not None:
+                frontier = f"{row['fr']['w']}.{row['fr']['l']:010d}"
 
-        frontier = None
-        if agg["fr"] is not None:
-            frontier = f"{agg['fr']['w']}.{agg['fr']['l']:010d}"
+            # idle fast path (W3): nothing to merge, no frontier to advance
+            # — commit only the checkpoint; replay of this batch is a no-op
+            if agg["n_raw"] == (agg["n_control"] or 0) and frontier is None and not agg["n_malformed"]:
+                stats = {"skipped": False, "version": self.table.meta["version"],
+                         "n_updates": 0, "n_data": 0, "frontier_hlc": None, **agg}
+                self._write_metrics(batch_id, "stream", stats,
+                                    extra={"wall_ms": (time.time() - t0) * 1e3})
+                return stats
+        else:
+            # hot path: registry poll (O(1) driver) + ONE Spark pass — the
+            # batch stats ride an observe() on the same plan the staging
+            # write executes; the resolved frontier is handed to the merge
+            # through frontier_provider (resolved after that action runs)
+            self._poll_registry()
+            obs = Observation()
+            parsed = parse_changefeed(raw, self.specs, self.cfg.pk_name, with_drift_keys=False)
+            parsed = parsed.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_raw"),
+                F.sum(F.when(F.col("is_control"), 1).otherwise(0)).alias("n_control"),
+                F.sum(F.when(F.col("is_malformed"), 1).otherwise(0)).alias("n_malformed"),
+                F.sum(F.when(~F.col("is_control") & F.col("pk").isNull(), 1).otherwise(0)).alias("n_keyless"),
+                F.min("seq").alias("min_seq"),
+                F.max("seq").alias("max_seq"),
+                # (wall, logical) packed into one decimal — struct-typed
+                # observe metrics crash the py4j row bridge when null
+                F.max(
+                    F.when(
+                        F.col("resolved").isNotNull(),
+                        hlc_wall_ns(F.col("resolved")).cast("decimal(38,0)") * F.lit(10_000_000_000).cast("decimal(38,0)")
+                        + hlc_logical(F.col("resolved")).cast("decimal(38,0)"),
+                    )
+                ).alias("fr_enc"),
+            )
 
-        n_raw = int(agg["n_raw"])
-        n_control = int(agg["n_control"] or 0)
-        n_malformed = int(agg["n_malformed"] or 0)
-
-        # idle fast path (W3): nothing to merge and no frontier to
-        # advance — commit only the checkpoint; replaying this batch is
-        # a no-op so no applied-key record is needed
-        if n_raw == n_control and frontier is None and n_malformed == 0:
-            stats = {"skipped": False, "version": self.table.meta["version"],
-                     "n_updates": 0, "n_raw": n_raw, "n_control": n_control,
-                     "n_data": 0, "n_malformed": 0, "n_keyless": 0,
-                     "min_seq": agg["min_seq"], "max_seq": agg["max_seq"],
-                     "frontier_hlc": None}
-            self._write_metrics(batch_id, "stream", stats,
-                                extra={"wall_ms": (time.time() - t0) * 1e3})
-            return stats
-
-        # quarantine poison records instead of killing the stream (X3 —
-        # replaying a malformed byte stream never heals, so a dead-letter
-        # table is the distributed-sane version of "retriable")
-        if self.cfg.errors_path and n_malformed > 0:
-            bad_seqs = parsed.filter(F.col("is_malformed")).select(F.col("seq").alias("offset"))
-            raw.join(bad_seqs, "offset", "left_semi").withColumn(
-                "batch_id", F.lit(batch_id)
-            ).write.mode("append").parquet(self.cfg.errors_path)
-
-        # keyless rows (no after image, no usable message key) can never
-        # be merged — dropped and surfaced via metrics. Project to the
+        # keyless rows (no after image, no usable message key) can never be
+        # merged — dropped and surfaced via metrics. Project to the
         # apply-relevant columns BEFORE dedup so the arg-max join never
         # carries before-images/topic strings (shuffle-payload prune).
         data = parsed.filter(~F.col("is_control") & F.col("pk").isNotNull()).select(
             "pk", "commit_wall_ns", "commit_logical", "seq", "op", "after"
         )
-        deduped = dedupe_batch(data, "pk")
-        updates = self._to_updates(deduped)
+        updates = self._to_updates(dedupe_batch(data, "pk"))
+
+        obs_cache: dict[str, Any] = {}
+
+        def obs_metrics() -> dict[str, Any]:
+            """Observation metrics with a direct-agg fallback: degenerate
+            plans (e.g. a zero-row staged write under AQE) can complete
+            without materializing the observe node."""
+            if obs_cache:
+                return obs_cache
+            try:
+                obs_cache.update(obs.get)
+            except Exception:
+                row = self._batch_agg(parsed, with_keys=False)
+                obs_cache.update({k: row[k] for k in (
+                    "n_raw", "n_control", "n_malformed", "n_keyless", "min_seq", "max_seq")})
+                fr = row["fr"]
+                obs_cache["fr_enc"] = None if fr is None else fr["w"] * 10_000_000_000 + fr["l"]
+            return obs_cache
+
+        def frontier_from_obs():
+            enc = obs_metrics().get("fr_enc")
+            if enc is None:
+                return None
+            wall, logical = divmod(int(enc), 10_000_000_000)
+            return f"{wall}.{logical:010d}"
+
         stats = self.table.merge(
             self.spark,
             updates,
             batch_key=f"stream:{batch_id}",
             frontier_hlc=frontier,
             broadcast_threshold=self.cfg.broadcast_threshold,
+            frontier_provider=None if exact else frontier_from_obs,
         )
-        stats.update(
-            n_raw=n_raw, n_control=n_control, n_data=n_raw - n_control,
-            n_malformed=n_malformed, n_keyless=int(agg["n_keyless"] or 0),
-            min_seq=agg["min_seq"], max_seq=agg["max_seq"], frontier_hlc=frontier,
-        )
+        if not stats.get("skipped"):
+            if agg is None:
+                o = obs_metrics()
+                agg = {k: o[k] for k in ("n_raw", "n_control", "n_malformed", "n_keyless", "min_seq", "max_seq")}
+            n_raw, n_control = int(agg["n_raw"]), int(agg["n_control"] or 0)
+            n_malformed = int(agg["n_malformed"] or 0)
+            # quarantine poison records instead of killing the stream (X3 —
+            # replaying a malformed byte stream never heals; dead-letter
+            # table is the distributed-sane version of "retriable").
+            # Rare path → its own small job.
+            if self.cfg.errors_path and n_malformed > 0:
+                bad = parse_changefeed(raw, self.specs, self.cfg.pk_name, with_drift_keys=False)
+                bad_seqs = bad.filter(F.col("is_malformed")).select(F.col("seq").alias("offset"))
+                raw.join(bad_seqs, "offset", "left_semi").withColumn(
+                    "batch_id", F.lit(batch_id)
+                ).write.mode("append").parquet(self.cfg.errors_path)
+            stats.update(
+                n_raw=n_raw, n_control=n_control, n_data=n_raw - n_control,
+                n_malformed=n_malformed, n_keyless=int(agg["n_keyless"] or 0),
+                min_seq=agg["min_seq"], max_seq=agg["max_seq"],
+            )
         self._write_metrics(batch_id, "stream", stats, extra={"wall_ms": (time.time() - t0) * 1e3})
         return stats
 
