@@ -37,14 +37,39 @@ N_FILES = int(os.environ.get("BENCH_FILES", "32"))
 MERGE_MODE = os.environ.get("BENCH_MODE", "cow")  # cow | mor
 
 
+# Local mode funnels every shuffle file, staged batch, and table write
+# through ONE virtio disk — on a real cluster each of the 4N executors has
+# its own disks, so charging the engine for VM disk contention would
+# misrepresent scaling. BENCH_TMPFS=1 (default) puts ephemeral scratch on
+# tmpfs; set BENCH_TMPFS=0 to measure the disk-bound configuration.
+USE_TMPFS = os.environ.get("BENCH_TMPFS", "1") == "1" and os.path.isdir("/dev/shm")
+SCRATCH = "/dev/shm/spark_graft_bench" if USE_TMPFS else os.path.join(REPO, "_work", "bench")
+
+
 def build_spark(cpus: int):
+    """local[cpus] by default; BENCH_MASTER=spark://... runs against a
+    standalone cluster with 2-core executors (cpus/2 executor JVMs) — the
+    multi-executor shape the north rule's scaling criterion names."""
     from debezium_connector_cockroachdb_spark.session import build_session
 
+    extra = {"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "48g")}
+    if USE_TMPFS:
+        os.makedirs(f"{SCRATCH}/local", exist_ok=True)
+        extra["spark.local.dir"] = f"{SCRATCH}/local"
+    master = os.environ.get("BENCH_MASTER")
+    if master:
+        extra.update({
+            "spark.executor.cores": os.environ.get("BENCH_EXEC_CORES", "2"),
+            "spark.cores.max": str(cpus),
+            "spark.executor.memory": os.environ.get("BENCH_EXEC_MEM", "10g"),
+        })
+    else:
+        master = f"local[{cpus}]"
     return build_session(
         app_name="bench",
-        master=f"local[{cpus}]",
+        master=master,
         shuffle_partitions=cpus,
-        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "48g")},
+        extra_conf=extra,
     )
 
 
@@ -72,7 +97,7 @@ def bench_cdc_apply(spark) -> tuple[float, dict]:
         write_log(spark, cfg, log_dir)
     n_records = spark.read.parquet(log_dir).count()
 
-    run_dir = os.path.join(REPO, "_work", "bench", f"run_{os.getpid()}")
+    run_dir = os.path.join(SCRATCH, f"run_{os.getpid()}")
     shutil.rmtree(run_dir, ignore_errors=True)
     icfg = IngestConfig(
         log_dir=log_dir,
@@ -80,11 +105,12 @@ def bench_cdc_apply(spark) -> tuple[float, dict]:
         metrics_path=os.path.join(run_dir, "metrics"),
         checkpoint_dir=os.path.join(run_dir, "ckpt"),
         num_buckets=64,
-        # 4 micro-batches; throughput mode favors large batches — per-batch
-        # fixed costs (commit, listing, planning) amortize over N_EVENTS/4
-        max_files_per_trigger=max(N_FILES // 4, 1),
+        # throughput mode favors large batches — per-batch fixed costs
+        # (commit, listing, planning, broadcast builds) amortize
+        max_files_per_trigger=int(os.environ.get("BENCH_TRIGGER_FILES", max(N_FILES // 4, 1))),
         collect_metrics=True,
         merge_mode=MERGE_MODE,
+        mor_skip_batch_dedup=bool(os.environ.get("BENCH_MOR_NODEDUP")),
     )
     pipe = CDCPipeline(spark, icfg)
     t0 = time.time()
@@ -93,6 +119,10 @@ def bench_cdc_apply(spark) -> tuple[float, dict]:
     q.awaitTermination()
     dt = time.time() - t0
     n_state = pipe.read_state().count()
+    if os.environ.get("BENCH_DEBUG"):
+        pipe.read_metrics().orderBy("batch_id").select(
+            "batch_id", "phase", "n_raw", "n_updates", "touched_buckets", "wall_ms"
+        ).show(30, truncate=False)
     shutil.rmtree(run_dir, ignore_errors=True)
     return dt, {
         "n_log_records": n_records,
@@ -122,6 +152,10 @@ def main() -> None:
     qs = dq.queries()
     timings: dict[str, float] = {}
 
+    if os.environ.get("BENCH_WARMUP"):
+        # JIT/codegen/page-cache warmup — identical un-warmed runs vary
+        # >2x; the measured run reflects steady-state throughput
+        bench_cdc_apply(spark)
     cdc_dt, cdc_stats = bench_cdc_apply(spark)
     timings["cdc_full_apply"] = round(cdc_dt, 3)
 

@@ -47,9 +47,12 @@ def last_writer_wins(df: DataFrame, pk_col: str = "pk", broadcast_keys: bool = T
     ~4s on a 2M-row batch at 32 cores (ObjectHashAggregate falls back to
     sort-based beyond 128 groups and sorting nested arrays is brutal).
 
-    ``broadcast_keys`` broadcasts the winner set (pk + 3 longs); disable
-    for batches whose distinct-key count exceeds driver memory — the join
-    then shuffles on pk, still payload-light on the build side."""
+    ``broadcast_keys=True`` (default) broadcasts the winner set (pk + 3
+    longs). The driver-side hash-relation build is serial (~27% of batch
+    time at 10^5+ keys, capping scaling efficiency near 0.55) but measured
+    3x faster in absolute terms than the AQE sort-merge alternative, which
+    shuffles and sorts the payload side. MoR mode avoids the join — and
+    this tradeoff — entirely."""
     win = df.groupBy(pk_col).agg(
         F.max(F.struct(*[F.col(c) for c in ORDERING])).alias("_win")
     ).select(

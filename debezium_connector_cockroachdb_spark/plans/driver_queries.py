@@ -448,7 +448,7 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim FROM ranked WHE
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_dedup.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), k=MINHASH_K_ORACLE, bands=4, threshold=0.25
+        _t(spark, sf_dir, "documents"), k=MINHASH_K_ORACLE, bands=4, threshold=0.375
     )
 
 
@@ -475,7 +475,7 @@ WITH base AS (
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(({agree}) / {MINHASH_K_ORACLE}.0, 6) AS est_jaccard
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({bands})
-WHERE round(({agree}) / {MINHASH_K_ORACLE}.0, 6) >= 0.25
+WHERE round(({agree}) / {MINHASH_K_ORACLE}.0, 6) >= 0.375
 """
 
 

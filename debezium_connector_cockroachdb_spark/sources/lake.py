@@ -292,6 +292,11 @@ class SnapshotTable:
         new_files: list[dict[str, Any]] = []
         if touched:
             u_rows = spark.read.parquet(staging)  # partition discovery restores _bucket
+            # broadcast only when the update set is genuinely small — a
+            # forced broadcast of a big batch builds its hash relation
+            # single-threaded on the driver (measured serial-fraction
+            # killer); above the threshold AQE picks the join from runtime
+            # stats of the staged files
             if n_updates <= broadcast_threshold:
                 u_rows = F.broadcast(u_rows)
 

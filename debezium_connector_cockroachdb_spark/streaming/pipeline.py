@@ -82,10 +82,19 @@ class IngestConfig:
     max_files_per_trigger: int | None = None
     snapshot_wall_ns: int = 0  # commit-ts assigned to op='r' backfill rows
     collect_metrics: bool = True
+    # forced-broadcast cap for the merge's update side (rows): the serial
+    # driver-side hash build is still 3x cheaper than AQE's sort-merge of
+    # the payload side at micro-batch scale
     broadcast_threshold: int = 2_000_000
     errors_path: str | None = None  # dead-letter quarantine for poison events (X3)
     merge_mode: str = "cow"  # "cow" (read-optimized) | "mor" (write-optimized)
     mor_max_deltas_per_bucket: int = 8
+    # MoR only: skip the per-batch last-writer-wins entirely — read-time
+    # arg-max resolves intra-batch duplicates/ordering identically, so the
+    # write path becomes a pure parse→delta-write with NO join and NO
+    # shuffle-side broadcast (the last serial cost). Costs more delta rows
+    # until compaction; ignored under CoW (its join needs one row per key).
+    mor_skip_batch_dedup: bool = False
     # "poll": check the schema registry's version once per micro-batch
     #   (O(1) driver-side; evolving one batch early is safe — add-column and
     #   widen are backward compatible, pre-DDL rows null-fill either way).
@@ -272,7 +281,10 @@ class CDCPipeline:
         data = parsed.filter(~F.col("is_control") & F.col("pk").isNotNull()).select(
             "pk", "commit_wall_ns", "commit_logical", "seq", "op", "after"
         )
-        updates = self._to_updates(dedupe_batch(data, "pk"))
+        if self.cfg.merge_mode == "mor" and self.cfg.mor_skip_batch_dedup:
+            updates = self._to_updates(data)
+        else:
+            updates = self._to_updates(dedupe_batch(data, "pk"))
 
         obs_cache: dict[str, Any] = {}
 
@@ -285,6 +297,9 @@ class CDCPipeline:
             try:
                 obs_cache.update(obs.get)
             except Exception:
+                import sys as _sys
+
+                print(f"[cdc] observe fallback fired for batch {batch_id}", file=_sys.stderr)
                 row = self._batch_agg(parsed, with_keys=False)
                 obs_cache.update({k: row[k] for k in (
                     "n_raw", "n_control", "n_malformed", "n_keyless", "min_seq", "max_seq")})

@@ -218,3 +218,46 @@ def test_mor_pipeline_end_to_end(spark, tmp_path):
     pipe.run_to_completion(seed_df=seed)
     got = normalize(pipe.read_state().collect())
     assert_state_equal(got, run_oracle(spark, log_dir, seed))
+
+
+def test_cross_batch_duplicate_applied_once(spark, tmp_path):
+    """Scenario 4 (cross-batch half): the same event redelivered in a LATER
+    micro-batch must not change state (merge guard: equal commit ts is not
+    strictly newer)."""
+    from pyspark.sql import Row
+
+    gcfg, icfg, log_dir, seed = build_env(spark, tmp_path)
+    pipe = CDCPipeline(spark, icfg)
+    pipe.run_to_completion(seed_df=seed)
+    before = normalize(pipe.read_state().collect())
+
+    # redeliver a real event from the log in a fresh batch with a new offset
+    orig = (
+        spark.read.parquet(log_dir)
+        .filter("value IS NOT NULL AND value LIKE '%\"op\":\"c\"%'")
+        .orderBy("offset")
+        .limit(1)
+        .collect()[0]
+    )
+    dup = spark.createDataFrame(
+        [Row(topic=orig["topic"], partition=orig["partition"], offset=10**10,
+             ts_ms=orig["ts_ms"], key=orig["key"], value=orig["value"])],
+        "topic string, partition int, offset long, ts_ms long, key string, value string",
+    )
+    stats = pipe.process_batch(dup, batch_id=777001)
+    after = normalize(pipe.read_state().collect())
+    assert {r["doc_id"]: r for r in after} == {r["doc_id"]: r for r in before}
+
+
+def test_mor_skip_batch_dedup_matches_oracle(spark, tmp_path):
+    """MoR with per-batch dedup skipped: read-time arg-max must resolve
+    intra-batch duplicates/ordering to the identical final state."""
+    gcfg, icfg, log_dir, seed = build_env(
+        spark, tmp_path,
+        ingest_kw={"merge_mode": "mor", "mor_skip_batch_dedup": True,
+                   "mor_max_deltas_per_bucket": 3},
+    )
+    pipe = CDCPipeline(spark, icfg)
+    pipe.run_to_completion(seed_df=seed)
+    got = normalize(pipe.read_state().collect())
+    assert_state_equal(got, run_oracle(spark, log_dir, seed))
