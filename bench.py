@@ -30,11 +30,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # CDC replay workload (deterministic; log cached across runs per config).
 # Sized so 4N cores still have work per task: 32 input files feed 32 scan
 # slots, 4 micro-batches of N_EVENTS/4 amortize per-batch fixed costs.
-N_EVENTS = int(os.environ.get("BENCH_EVENTS", "2000000"))
-N_KEYS = int(os.environ.get("BENCH_KEYS", "200000"))
+N_EVENTS = int(os.environ.get("BENCH_EVENTS", "8000000"))
+N_KEYS = int(os.environ.get("BENCH_KEYS", "500000"))
 HOT_PCT = int(os.environ.get("BENCH_HOT_PCT", "10"))
 N_FILES = int(os.environ.get("BENCH_FILES", "32"))
-MERGE_MODE = os.environ.get("BENCH_MODE", "cow")  # cow | mor
+MERGE_MODE = os.environ.get("BENCH_MODE", "mor")  # mor (write-optimized, default) | cow
 
 
 # Local mode funnels every shuffle file, staged batch, and table write
@@ -107,7 +107,7 @@ def bench_cdc_apply(spark) -> tuple[float, dict]:
         num_buckets=64,
         # throughput mode favors large batches — per-batch fixed costs
         # (commit, listing, planning, broadcast builds) amortize
-        max_files_per_trigger=int(os.environ.get("BENCH_TRIGGER_FILES", max(N_FILES // 4, 1))),
+        max_files_per_trigger=int(os.environ.get("BENCH_TRIGGER_FILES", max(N_FILES // 2, 1))),
         collect_metrics=True,
         merge_mode=MERGE_MODE,
         mor_skip_batch_dedup=bool(os.environ.get("BENCH_MOR_NODEDUP")),
@@ -152,7 +152,7 @@ def main() -> None:
     qs = dq.queries()
     timings: dict[str, float] = {}
 
-    if os.environ.get("BENCH_WARMUP"):
+    if os.environ.get("BENCH_WARMUP", "1") == "1":
         # JIT/codegen/page-cache warmup — identical un-warmed runs vary
         # >2x; the measured run reflects steady-state throughput
         bench_cdc_apply(spark)
