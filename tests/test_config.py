@@ -1,0 +1,66 @@
+"""IngestConfig validation matrix (CockroachDBConnectorConfigTest analogue
+— the reference devotes 594 LoC to config validation; ours asserts the
+dataflow-relevant knobs reject invalid values and the Kafka source path
+gates cleanly when its package is absent)."""
+
+import pytest
+
+from debezium_connector_cockroachdb_spark.streaming.pipeline import (
+    SNAPSHOT_MODES,
+    CDCPipeline,
+    IngestConfig,
+)
+
+
+def mk(**kw):
+    base = dict(log_dir="/tmp/x", table_path="/tmp/y")
+    base.update(kw)
+    return IngestConfig(**base)
+
+
+def test_all_snapshot_modes_accepted():
+    for m in SNAPSHOT_MODES:
+        assert mk(snapshot_mode=m).snapshot_mode == m
+
+
+def test_invalid_snapshot_mode_rejected():
+    with pytest.raises(ValueError, match="snapshot.mode"):
+        mk(snapshot_mode="sometimes")
+
+
+def test_invalid_merge_mode_rejected():
+    with pytest.raises(ValueError, match="merge_mode"):
+        mk(merge_mode="upsertish")
+
+
+def test_invalid_drift_mode_rejected():
+    with pytest.raises(ValueError, match="drift_mode"):
+        mk(drift_mode="lazy")
+
+
+def test_streaming_requires_checkpoint(spark, tmp_path):
+    from debezium_connector_cockroachdb_spark.sources.generator import GeneratorConfig, write_log
+
+    log = str(tmp_path / "log")
+    write_log(spark, GeneratorConfig(num_keys=5, num_events=20, n_files=1), log)
+    pipe = CDCPipeline(spark, mk(log_dir=log, table_path=str(tmp_path / "t"), checkpoint_dir=None))
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        pipe.start_stream()
+
+
+def test_kafka_source_gates_without_package(spark, tmp_path):
+    """S3: the Kafka consumer path exists but must fail with an actionable
+    message when the spark-sql-kafka jar is absent (this image)."""
+    from debezium_connector_cockroachdb_spark.sources.generator import GeneratorConfig, write_log
+
+    log = str(tmp_path / "log")
+    write_log(spark, GeneratorConfig(num_keys=5, num_events=20, n_files=1), log)
+    pipe = CDCPipeline(
+        spark,
+        mk(log_dir=log, table_path=str(tmp_path / "t"),
+           checkpoint_dir=str(tmp_path / "ck"),
+           source_format="kafka",
+           source_options={"kafka.bootstrap.servers": "localhost:9092", "subscribe": "t"}),
+    )
+    with pytest.raises(Exception, match="kafka"):
+        pipe.start_stream()
