@@ -220,3 +220,46 @@ def simhash_duplicates(df: DataFrame, bits: int = 32, text_col: str = "text", id
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs with Hamming(simhash) ≤ max_hamming, via the
+    classic band-rotation blocking: split the fingerprint into
+    ``max_hamming+1`` bit-bands — by pigeonhole, any pair within the
+    Hamming budget agrees EXACTLY on at least one band. Candidates come
+    from equality joins on (band_index, band_value) — uniform shuffle keys,
+    no pairwise scan — then ``bit_count(xor)`` verifies the exact distance.
+    At 10^9 docs this is #bands linear passes plus per-bucket joins."""
+    n_bands = max_hamming + 1
+    band_width = (bits + n_bands - 1) // n_bands
+    sig = simhash(df, bits, text_col, id_col)
+    mask = (1 << band_width) - 1
+    bands = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", b * band_width).bitwiseAND(F.lit(mask)).alias("v"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    )
+    a = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "bk")
+    b = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "bk")
+    return (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

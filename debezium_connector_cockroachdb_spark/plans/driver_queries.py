@@ -415,6 +415,45 @@ SELECT doc_id, {fp} AS simhash FROM agg
 """
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_dedup.simhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), max_hamming=3, bits=SIMHASH_BITS_ORACLE
+    )
+
+
+def _simhash_neardup_sql() -> str:
+    """Band-rotation candidates + exact bit_count verification, over the
+    (already-oracled) simhash fingerprints. bands = max_hamming+1 = 4,
+    band_width = ceil(16/4) = 4 bits."""
+    h = H48_SQL.format(expr="w")
+    sums = ",\n       ".join(
+        f"sum(CASE WHEN (({h}) >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS_ORACLE)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS_ORACLE)
+    )
+    bands = " OR ".join(
+        f"((a.simhash >> {b * 4}) & 15 = (b.simhash >> {b * 4}) & 15)" for b in range(4)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array({NORM_SQL}, ' ')) AS w FROM documents
+), agg AS (
+  SELECT doc_id,
+       {sums}
+  FROM words WHERE length(w) > 0 GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {fp} AS simhash FROM agg
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({bands})
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -567,6 +606,7 @@ def queries() -> dict[str, QueryFn]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
@@ -591,6 +631,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_sql(),
         "minhash_lsh_pairs": _minhash_lsh_sql(),
         "simhash": _simhash_sql(),
+        "simhash_neardup": _simhash_neardup_sql(),
         "ann_cosine_topk": SQL_ANN_TOPK,
         "embedding_neardup": _embedding_neardup_sql(),
         "multimodal_features": SQL_MULTIMODAL_FEATURES,

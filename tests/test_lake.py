@@ -208,3 +208,17 @@ def test_mor_replay_skipped(spark, tmp_path):
     r = mor.merge(spark, upd(spark, [("a", [9], 1, "cc", "u", 999, 0, 2)]), "b1")
     assert r["skipped"] is True
     assert list(state(spark, mor)["a"]["tokens"]) == [1]
+
+
+def test_snapshot_isolation_for_pinned_readers(spark, tmp_table_dir):
+    """A reader holding an older SnapshotTable keeps reading that exact
+    version after newer commits (atomic metadata-pointer semantics)."""
+    t = mk(tmp_table_dir)
+    t.merge(spark, upd(spark, [("a", [1], 1, "cc", "c", 100, 0, 1)]), "b1")
+    pinned = SnapshotTable.load(t.path)           # reader pins v1
+    t.merge(spark, upd(spark, [("a", [9], 1, "cc", "u", 200, 0, 2),
+                               ("b", [2], 1, "cc", "c", 200, 0, 3)]), "b2")
+    old = {r["doc_id"]: list(r["tokens"]) for r in pinned.read_state(spark).collect()}
+    new = {r["doc_id"]: list(r["tokens"]) for r in SnapshotTable.load(t.path).read_state(spark).collect()}
+    assert old == {"a": [1]}
+    assert new == {"a": [9], "b": [2]}

@@ -128,3 +128,20 @@ def test_frame_sample_plan(spark, docs):
     n1 = len(DOCS[0][1].encode())
     assert len(by_id[1]) == (n1 - 1) // 16 + 1
     assert by_id[1][0] == (0, 0)
+
+
+def test_simhash_near_duplicates_hamming(spark, docs):
+    """Band-rotation blocking must find all pairs within the Hamming
+    budget (pigeonhole guarantee) and report exact distances."""
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in text_dedup.simhash_near_duplicates(docs, max_hamming=6, bits=32).collect()}
+    assert pairs.get((1, 2)) == 0            # normalized-identical
+    if (1, 6) in pairs:                       # one-word-off near-dup
+        assert 0 < pairs[(1, 6)] <= 6
+    # exhaustive cross-check against brute-force popcount
+    fps = {r["doc_id"]: r["simhash"] for r in text_dedup.simhash(docs, bits=32).collect()}
+    expected = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for a in fps for b in fps if a < b and bin(fps[a] ^ fps[b]).count("1") <= 6
+    }
+    assert pairs == expected
