@@ -149,6 +149,117 @@ def cosine_topk_lsh(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """IVF coarse quantizer: k-means with deterministic seeding (every
+    (N/k)-th vector by id order — no RNG, reproducible across runs) and
+    ``n_iters`` Lloyd steps, each one Spark pass (assign via broadcast
+    centroid table, re-center via groupBy mean). Returns (corpus + `_cell`
+    column, centroid list). At 10^9 vectors the assign pass is map-only
+    over the scan; only k×dim floats move to the driver per iteration."""
+    v = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    n = v.count()
+    stride = max(n // n_centroids, 1)
+    # deterministic seeding without collecting the corpus: a hash-stride
+    # filter pulls ~k candidate rows to the driver, never the full table
+    seed_rows = (
+        v.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0)
+        .orderBy(id_col).limit(n_centroids).collect()
+    )
+    if len(seed_rows) < n_centroids:
+        seed_rows = v.orderBy(id_col).limit(n_centroids).collect()
+    cents = [(i, list(r["_v"])) for i, r in enumerate(seed_rows)]
+
+    def assign(df: DataFrame, centroids) -> DataFrame:
+        # squared-L2 to each centroid, computed as JVM expressions
+        dists = [
+            F.aggregate(
+                F.zip_with(F.col("_v"), F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ).alias(f"_d{i}")
+            for i, c in centroids
+        ]
+        with_d = df.select("*", *dists)
+        best = F.lit(0)
+        best_d = F.col("_d0")
+        for i, _c in centroids[1:]:
+            cond = F.col(f"_d{i}") < best_d
+            best = F.when(cond, F.lit(i)).otherwise(best)
+            best_d = F.when(cond, F.col(f"_d{i}")).otherwise(best_d)
+        return with_d.select(df.columns + [best.alias("_cell")]).drop(
+            *[f"_d{i}" for i, _ in centroids]
+        )
+
+    for _it in range(n_iters):
+        assigned = assign(v, cents)
+        means = (
+            assigned.groupBy("_cell")
+            .agg(*[F.avg(F.col("_v").getItem(d)).alias(f"m{d}") for d in range(len(cents[0][1]))])
+            .collect()
+        )
+        new = dict(cents)
+        for r in means:
+            new[r["_cell"]] = [r[f"m{d}"] for d in range(len(cents[0][1]))]
+        cents = sorted(new.items())
+    out = assign(corpus.select(F.col(id_col), F.col(vec_col),
+                               F.col(vec_col).cast("array<double>").alias("_v")), cents).drop("_v")
+    return out, cents
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via IVF: queries score only against the n_probe
+    nearest cells' vectors (the inverted-file scale path — at 10^9 vectors
+    a query touches n_probe/n_centroids of the corpus). Same output shape
+    as cosine_topk; recall < 1 by design."""
+    assigned, cents = ivf_assign(corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col)
+
+    def nearest_cells(vec: list[float]) -> list[int]:
+        ds = [(sum((a - b) ** 2 for a, b in zip(vec, c)), i) for i, c in cents]
+        return [i for _, i in sorted(ds)[:n_probe]]
+
+    # queries are the small side by definition (top-k lookups); their
+    # cell probes expand n_probe-fold and broadcast against the corpus
+    q_rows = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv")).collect()
+    probe = [
+        (r[query_id_col], [float(x) for x in r["_qv"]], cell)
+        for r in q_rows for cell in nearest_cells([float(x) for x in r["_qv"]])
+    ]
+    probe_df = corpus.sparkSession.createDataFrame(
+        probe, f"{query_id_col} long, _qv array<double>, _cell int"
+    )
+    scored = (
+        assigned.join(F.broadcast(probe_df), "_cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("_qv"), F.col(vec_col).cast("array<double>")), 6).alias("cos_sim"),
+        )
+    )
+    packed = F.struct(F.col("cos_sim"), (-F.col("neighbor_id")).alias("neg_id"), F.col("neighbor_id"))
+    return (
+        scored.groupBy(query_id_col)
+        .agg(F.slice(F.sort_array(F.collect_list(packed), asc=False), 1, k).alias("top"))
+        .select(query_id_col, F.posexplode("top").alias("rank0", "t"))
+        .select(query_id_col, F.col("t.neighbor_id").alias("neighbor_id"),
+                (F.col("rank0") + 1).alias("rank"), F.col("t.cos_sim").alias("cos_sim"))
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

@@ -553,6 +553,15 @@ WHERE round({dot.format(a='a.embedding', b='b.embedding')}
 """
 
 
+def q_ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed approximate top-k (iterative k-means coarse quantizer —
+    not SQL-expressible, driver records the rows-only check; exact-recall
+    behavior is pinned by tests/test_text_ops.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.cosine_topk_ivf(emb, queries, k=3, n_centroids=8, n_probe=2)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
     return multimodal.extract_features(media)
@@ -608,6 +617,7 @@ def queries() -> dict[str, QueryFn]:
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
         "frame_sample_plan": q_frame_sample_plan,

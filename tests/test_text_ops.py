@@ -145,3 +145,21 @@ def test_simhash_near_duplicates_hamming(spark, docs):
         for a in fps for b in fps if a < b and bin(fps[a] ^ fps[b]).count("1") <= 6
     }
     assert pairs == expected
+
+
+def test_ivf_topk_recall_on_clear_neighbors(spark, vecs):
+    """IVF probe must find the 0.999-cosine twin (it shares the cell) and
+    keep exact ranking within the probed subset."""
+    q = vecs.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = similarity.cosine_topk_ivf(vecs, q, k=2, n_centroids=2, n_probe=1).collect()
+    ids = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert ids[0] == 1
+
+
+def test_ivf_assign_deterministic_and_total(spark, vecs):
+    a1, c1 = similarity.ivf_assign(vecs, n_centroids=2)
+    a2, c2 = similarity.ivf_assign(vecs, n_centroids=2)
+    assert c1 == c2
+    m1 = {r["vec_id"]: r["_cell"] for r in a1.collect()}
+    m2 = {r["vec_id"]: r["_cell"] for r in a2.collect()}
+    assert m1 == m2 and len(m1) == 5  # every vector assigned exactly once
