@@ -306,7 +306,7 @@ WITH base AS (
             + (length(padded) - length(replace(padded, ' y ', ''))) / 3 AS INT) AS s_es
   FROM base
 )
-SELECT doc_id, n_tokens, n_chars, word_char_ratio, mean_token_len,
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, CAST(n_chars AS INT) AS n_chars, word_char_ratio, mean_token_len,
        round(word_char_ratio * (CASE WHEN mean_token_len BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END), 4) AS quality,
        CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
             WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
@@ -316,6 +316,40 @@ SELECT doc_id, n_tokens, n_chars, word_char_ratio, mean_token_len,
        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
 FROM scored
 """
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pipeline: text analysis → quality/language
+    gates → exact dedup (keep min doc_id per fingerprint) — the one-pass
+    curation flow a pretraining corpus build runs over raw documents."""
+    analyzed = text.analyze_documents(_t(spark, sf_dir, "documents"))
+    gated = analyzed.filter(
+        (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en") & (F.col("n_tokens") >= 5)
+    )
+    keep = gated.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        gated.join(keep, ["fingerprint", "doc_id"])
+        .select("doc_id", "n_tokens", "quality", "fingerprint")
+    )
+
+
+SQL_CORPUS_CURATION_TMPL = """
+WITH analyzed AS ({{TEXT_ANALYSIS}}),
+gated AS (
+  SELECT doc_id, n_tokens, quality, fingerprint
+  FROM analyzed
+  WHERE quality >= 0.5 AND lang_pred = 'en' AND n_tokens >= 5
+),
+keep AS (
+  SELECT fingerprint, min(doc_id) AS doc_id FROM gated GROUP BY fingerprint
+)
+SELECT g.doc_id, CAST(g.n_tokens AS INT) AS n_tokens, g.quality, g.fingerprint
+FROM gated g JOIN keep k ON g.fingerprint = k.fingerprint AND g.doc_id = k.doc_id
+"""
+
+
+def _corpus_curation_sql() -> str:
+    return SQL_CORPUS_CURATION_TMPL.replace("{{TEXT_ANALYSIS}}", SQL_TEXT_ANALYSIS)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -611,6 +645,7 @@ def queries() -> dict[str, QueryFn]:
         "temporal_micros": q_temporal_micros,
         "text_analysis": q_text_analysis,
         "dedup_exact": q_dedup_exact,
+        "corpus_curation": q_corpus_curation,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -637,6 +672,7 @@ def oracle_sql() -> dict[str, str]:
         "temporal_micros": SQL_TEMPORAL_MICROS,
         "text_analysis": SQL_TEXT_ANALYSIS,
         "dedup_exact": SQL_DEDUP_EXACT,
+        "corpus_curation": _corpus_curation_sql(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "minhash_signatures": _minhash_sql(),
         "minhash_lsh_pairs": _minhash_lsh_sql(),
