@@ -4,6 +4,14 @@
 ``queries()``/``oracle_sql()`` expose every implemented operator from
 SURVEY.md §2 plus the training-data operator suite, DuckDB-verified at
 sf0.01 (see debezium_connector_cockroachdb_spark/plans/driver_queries.py).
+
+The flagship ``cdc_full_replay`` is value-exact: the Spark query stages the
+deterministic changefeed log + seed table at a fixed path, runs the full
+pipeline (snapshot -> stream -> MERGE), and returns a canonical scalar
+projection of the final state; the DuckDB oracle recomputes that state
+directly from the staged log (per-key arg-max over (wall, logical, offset)
+with delete filter and seed anti-join) — the replay semantics of
+CockroachDBRestartResumeIT.java:119-186 as plain SQL.
 """
 
 from __future__ import annotations
@@ -14,18 +22,37 @@ import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from debezium_connector_cockroachdb_spark.plans import driver_queries as _dq  # noqa: E402
 
 _WORK = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_work")
+# fixed staging dir shared by the Spark query and the DuckDB oracle: the
+# log is byte-deterministic given the sf dir, so the oracle always sees
+# exactly what the pipeline ingested
+_REPLAY_BASE = os.path.join(_WORK, "replay_oracle")
 
 
-def _run_cdc_replay(spark: SparkSession, sf_dir: str, tag: str) -> DataFrame:
+def _canon_state(state: DataFrame) -> DataFrame:
+    """Canonical scalar projection of the final table state (the driver's
+    value-hash canonicalizer cannot sort raw arrays, so tokens fold to
+    md5(to_json(tokens)) — portable: both engines render int arrays as
+    compact '[1,2,3]')."""
+    return state.select(
+        "doc_id",
+        F.md5(F.to_json(F.col("tokens"))).alias("tokens_md5"),
+        F.col("n_tok").cast("int").alias("n_tok"),
+        "source",
+        "lang",
+    )
+
+
+def _run_cdc_replay(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
     """Flagship: deterministic changefeed log (scaled off the sf dir's
     documents table) replayed through snapshot + streaming phases into the
-    snapshot table; returns the final user-facing state."""
+    snapshot table; returns the canonical final user-facing state."""
     from debezium_connector_cockroachdb_spark.sources.generator import (
         GeneratorConfig,
         seed_table,
@@ -47,11 +74,13 @@ def _run_cdc_replay(spark: SparkSession, sf_dir: str, tag: str) -> DataFrame:
         hot_key_pct=10,
         evolve_at=max(n_docs * 5, 50),
     )
-    base = os.path.join(_WORK, f"entry_{tag}_{cfg.num_events}")
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
     log_dir = os.path.join(base, "log")
+    seed_dir = os.path.join(base, "seed")
     write_log(spark, cfg, log_dir)
+    # stage the seed so the oracle reads the identical snapshot input
+    seed_table(spark, cfg).write.mode("overwrite").parquet(seed_dir)
     icfg = IngestConfig(
         log_dir=log_dir,
         table_path=os.path.join(base, "table"),
@@ -62,23 +91,68 @@ def _run_cdc_replay(spark: SparkSession, sf_dir: str, tag: str) -> DataFrame:
         max_files_per_trigger=2,
     )
     pipe = CDCPipeline(spark, icfg)
-    pipe.run_to_completion(seed_df=seed_table(spark, cfg))
-    return pipe.read_state()
+    pipe.run_to_completion(seed_df=spark.read.parquet(seed_dir))
+    return _canon_state(pipe.read_state())
+
+
+# Replay-as-SQL: identity-duplicate deliveries collapse under the per-key
+# arg-max (identical payload, higher offset wins equivalently); resolved
+# control rows and tombstones (blank value) are filtered; a winning delete
+# removes the row (including its seed image); seed rows survive only for
+# keys with no stream events at all.
+_REPLAY_ORACLE_SQL = """
+WITH log AS (SELECT * FROM read_parquet('{base}/log/*.parquet')),
+seed AS (SELECT * FROM read_parquet('{base}/seed/*.parquet')),
+data AS (
+  SELECT "offset" AS seq,
+         json_extract_string(value, '$.op') AS op,
+         CAST(split_part(json_extract_string(value, '$.source.ts_hlc'), '.', 1) AS BIGINT) AS wall,
+         CAST(split_part(json_extract_string(value, '$.source.ts_hlc'), '.', 2) AS BIGINT) AS logical,
+         coalesce(json_extract_string(value, '$.after.doc_id'),
+                  json_extract_string(key, '$[0]'),
+                  json_extract_string(key, '$.doc_id')) AS doc_id,
+         CAST(json_extract(value, '$.after.tokens') AS VARCHAR) AS tokens_json,
+         CAST(json_extract(value, '$.after.n_tok') AS INT) AS n_tok,
+         json_extract_string(value, '$.after.source') AS source,
+         json_extract_string(value, '$.after.lang') AS lang
+  FROM log
+  WHERE value IS NOT NULL AND trim(value) <> ''
+    AND json_extract(value, '$.resolved') IS NULL
+),
+winners AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY wall DESC, logical DESC, seq DESC) AS rn
+    FROM data
+  ) WHERE rn = 1
+),
+final_ev AS (
+  SELECT doc_id, md5(tokens_json) AS tokens_md5, n_tok, source, lang
+  FROM winners WHERE op <> 'd'
+),
+seed_keep AS (
+  SELECT s.doc_id, md5(CAST(to_json(s.tokens) AS VARCHAR)) AS tokens_md5,
+         CAST(s.n_tok AS INT) AS n_tok, s.source, CAST(NULL AS VARCHAR) AS lang
+  FROM seed s ANTI JOIN winners w ON s.doc_id = w.doc_id
+)
+SELECT * FROM final_ev UNION ALL SELECT * FROM seed_keep
+""".format(base=_REPLAY_BASE)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return _run_cdc_replay(spark, "/root/testdata/sf0.001", "sf0001")
+    return _run_cdc_replay(
+        spark, "/root/testdata/sf0.001", os.path.join(_WORK, "entry_sf0001")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = dict(_dq.queries())
-    # full pipeline replay: stateful + streaming, not SQL-expressible →
-    # rows-only check (oracle equivalence is covered by
-    # tests/test_pipeline.py against the pure-Python replay oracle)
-    qs["cdc_full_replay"] = lambda spark, sf_dir: _run_cdc_replay(spark, sf_dir, "q")
+    qs["cdc_full_replay"] = lambda spark, sf_dir: _run_cdc_replay(spark, sf_dir, _REPLAY_BASE)
     return qs
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_dq.oracle_sql())
+    out = dict(_dq.oracle_sql())
+    out["cdc_full_replay"] = _REPLAY_ORACLE_SQL
+    return out
