@@ -1,14 +1,21 @@
 """Similarity search over embedding columns (``array<float>``).
 
 * ``cosine_topk`` — exact brute-force top-k: broadcast the (small) query
-  set, one pass over the corpus, per-query arg-top-k via groupBy +
-  min/max-heap-free sorted slice. The corpus scan is map-only; the only
-  shuffle carries |corpus|·|queries| scored rows reduced by partial
-  aggregation. This is the correctness baseline.
+  set, one pass over the corpus, per-query arg-top-k via a TWO-STAGE
+  bounded aggregation (partition-local top-k, then top-k of the union).
+  This is the correctness baseline.
 * ``cosine_topk_lsh`` — the scale path: random-hyperplane (sign) LSH
   buckets computed with deterministic ±1 planes; queries only score
-  against their bucket (+ optional multi-probe by flipping one bit).
-  At 10^9 vectors the bucket join replaces the full scan.
+  against their bucket. At 10^9 vectors the bucket join replaces the full
+  scan.
+* ``cosine_topk_ivf`` — inverted-file probing: deterministic k-means
+  coarse quantizer, queries score only the n_probe nearest cells.
+
+Scale note (the round-1 lesson): a single ``collect_list`` per query
+buffers O(|corpus|) structs on one reducer — dead at 10^9 rows. Every
+top-k here pre-reduces per input partition (``groupBy(query, partition_id)``
+→ slice k) so no aggregation buffer ever exceeds one partition's rows, and
+the final reduce sees only k × #partitions rows per query.
 
 Dot products use ``F.zip_with`` + ``F.aggregate`` — JVM-side, no UDF.
 """
@@ -33,6 +40,35 @@ def _norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _topk_per_query(scored: DataFrame, query_id_col: str, k: int) -> DataFrame:
+    """Exact arg-top-k of ``scored`` (query_id, neighbor_id, cos_sim) rows
+    per query, bounded memory: stage 1 reduces each input partition to its
+    own top-k (the aggregation buffer never outgrows one partition), stage
+    2 reduces the k × #partitions survivors. Top-k is distributive, so the
+    result is identical to a global sort. Ties break by neighbor_id ASC
+    (cos_sim is rounded BEFORE ranking so tie-breaks are reproducible
+    across engines)."""
+    packed = F.struct(
+        F.col("cos_sim"), (-F.col("neighbor_id")).alias("neg_id"), F.col("neighbor_id")
+    )
+    local = (
+        scored.groupBy(query_id_col, F.spark_partition_id().alias("_pid"))
+        .agg(F.slice(F.sort_array(F.collect_list(packed), asc=False), 1, k).alias("top"))
+        .select(query_id_col, F.explode("top").alias("t"))
+    )
+    return (
+        local.groupBy(query_id_col)
+        .agg(F.slice(F.sort_array(F.collect_list("t"), asc=False), 1, k).alias("top"))
+        .select(query_id_col, F.posexplode("top").alias("rank0", "t"))
+        .select(
+            query_id_col,
+            F.col("t.neighbor_id").alias("neighbor_id"),
+            (F.col("rank0") + 1).alias("rank"),
+            F.col("t.cos_sim").alias("cos_sim"),
+        )
+    )
 
 
 def cosine_topk(
@@ -63,21 +99,7 @@ def cosine_topk(
             ).alias("cos_sim"),
         )
     )
-    # arg-top-k without a global sort: collect per query the k best
-    # (cos desc, id asc tie-break) via sorted slice of aggregated structs.
-    packed = F.struct(F.col("cos_sim"), (-F.col("neighbor_id")).alias("neg_id"), F.col("neighbor_id"))
-    topk = (
-        scored.groupBy(query_id_col)
-        .agg(F.slice(F.sort_array(F.collect_list(packed), asc=False), 1, k).alias("top"))
-        .select(query_id_col, F.posexplode("top").alias("rank0", "t"))
-        .select(
-            query_id_col,
-            F.col("t.neighbor_id").alias("neighbor_id"),
-            (F.col("rank0") + 1).alias("rank"),
-            F.col("t.cos_sim").alias("cos_sim"),
-        )
-    )
-    return topk
+    return _topk_per_query(scored, query_id_col, k)
 
 
 # deterministic ±1 hyperplanes shared with any oracle: plane b, dim d is
@@ -132,21 +154,12 @@ def cosine_topk_lsh(
         .select(
             query_id_col,
             "neighbor_id",
-            cosine(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")).alias("cos_sim"),
+            F.round(
+                cosine(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")), 6
+            ).alias("cos_sim"),
         )
     )
-    packed = F.struct(F.col("cos_sim"), F.col("neighbor_id"))
-    return (
-        scored.groupBy(query_id_col)
-        .agg(F.slice(F.sort_array(F.collect_list(packed), asc=False), 1, k).alias("top"))
-        .select(query_id_col, F.posexplode("top").alias("rank0", "t"))
-        .select(
-            query_id_col,
-            F.col("t.neighbor_id").alias("neighbor_id"),
-            (F.col("rank0") + 1).alias("rank"),
-            F.round(F.col("t.cos_sim"), 6).alias("cos_sim"),
-        )
-    )
+    return _topk_per_query(scored, query_id_col, k)
 
 
 def ivf_assign(
@@ -161,7 +174,8 @@ def ivf_assign(
     ``n_iters`` Lloyd steps, each one Spark pass (assign via broadcast
     centroid table, re-center via groupBy mean). Returns (corpus + `_cell`
     column, centroid list). At 10^9 vectors the assign pass is map-only
-    over the scan; only k×dim floats move to the driver per iteration."""
+    over the scan; only k×dim floats move to the driver per iteration.
+    Ties in the argmin break toward the lowest cell index."""
     v = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
     n = v.count()
     stride = max(n // n_centroids, 1)
@@ -220,26 +234,45 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    assigned: DataFrame | None = None,
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: queries score only against the n_probe
     nearest cells' vectors (the inverted-file scale path — at 10^9 vectors
-    a query touches n_probe/n_centroids of the corpus). Same output shape
-    as cosine_topk; recall < 1 by design."""
-    assigned, cents = ivf_assign(corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col)
+    a query touches n_probe/n_centroids of the corpus). Output shape of
+    cosine_topk (recall < 1 by design). Pass a precomputed
+    (``assigned``, ``cents``) pair from :func:`ivf_assign` to reuse an
+    existing quantizer (e.g. to stage the centroids for an oracle).
 
-    def nearest_cells(vec: list[float]) -> list[int]:
-        ds = [(sum((a - b) ** 2 for a, b in zip(vec, c)), i) for i, c in cents]
-        return [i for _, i in sorted(ds)[:n_probe]]
+    Fully distributed: the query set is never collected — cell probing is
+    a broadcast join of queries against the (k-row) centroid table with a
+    per-query rank window, so arbitrarily large query sets stream through.
+    Ties in both the cell rank and the final top-k break deterministically
+    (cell index ASC / neighbor_id ASC)."""
+    if assigned is None or cents is None:
+        assigned, cents = ivf_assign(corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col)
+    spark = corpus.sparkSession
 
-    # queries are the small side by definition (top-k lookups); their
-    # cell probes expand n_probe-fold and broadcast against the corpus
-    q_rows = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv")).collect()
-    probe = [
-        (r[query_id_col], [float(x) for x in r["_qv"]], cell)
-        for r in q_rows for cell in nearest_cells([float(x) for x in r["_qv"]])
-    ]
-    probe_df = corpus.sparkSession.createDataFrame(
-        probe, f"{query_id_col} long, _qv array<double>, _cell int"
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in cents], "_cell int, _centroid array<double>"
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv"))
+    qdist = q.crossJoin(F.broadcast(cent_df)).select(
+        query_id_col,
+        "_qv",
+        "_cell",
+        F.aggregate(
+            F.zip_with(F.col("_qv"), F.col("_centroid"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ).alias("_d"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.col("_d").asc(), F.col("_cell").asc())
+    probe_df = (
+        qdist.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_probe)
+        .select(query_id_col, "_qv", "_cell")
     )
     scored = (
         assigned.join(F.broadcast(probe_df), "_cell")
@@ -250,14 +283,7 @@ def cosine_topk_ivf(
             F.round(cosine(F.col("_qv"), F.col(vec_col).cast("array<double>")), 6).alias("cos_sim"),
         )
     )
-    packed = F.struct(F.col("cos_sim"), (-F.col("neighbor_id")).alias("neg_id"), F.col("neighbor_id"))
-    return (
-        scored.groupBy(query_id_col)
-        .agg(F.slice(F.sort_array(F.collect_list(packed), asc=False), 1, k).alias("top"))
-        .select(query_id_col, F.posexplode("top").alias("rank0", "t"))
-        .select(query_id_col, F.col("t.neighbor_id").alias("neighbor_id"),
-                (F.col("rank0") + 1).alias("rank"), F.col("t.cos_sim").alias("cos_sim"))
-    )
+    return _topk_per_query(scored, query_id_col, k)
 
 
 def embedding_near_duplicates(

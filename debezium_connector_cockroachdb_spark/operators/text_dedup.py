@@ -82,17 +82,29 @@ def ngram_jaccard_pairs(
     max_df: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Document pairs with Jaccard(shingles) ≥ threshold.
 
-    ``max_df`` drops ubiquitous shingles before the self-join (document-
-    frequency blocking): without it a stop-shingle present in d docs fans
-    out d²/2 candidate rows. Jaccard is computed on the FULL shingle sets
-    (sizes counted before filtering), so the threshold semantics are exact;
-    only *candidate generation* is blocked — a pair sharing nothing but
+    ``max_df`` drops ubiquitous shingles before the candidate self-join
+    (document-frequency blocking): without it a stop-shingle present in d
+    docs fans out d²/2 candidate rows. For every candidate pair the
+    intersection is then re-counted on the UNFILTERED shingle table (pair →
+    shingles join, fan-out linear in |pairs|·|doc shingles|, never
+    quadratic), so the reported ``jaccard`` is the exact set Jaccard. Only
+    *candidate generation* is blocked — a pair sharing nothing but
     ubiquitous shingles can be missed by design (at ≥0.8 similarity real
-    near-dups always share rare shingles too)."""
-    sh = shingle_table(df, text_col, id_col, n).persist()
+    near-dups always share rare shingles too).
+
+    ``scratch_dir``: when given, the exploded shingle table is staged once
+    as parquet and re-read by the 5 downstream consumers. Deliberately NOT
+    ``.persist()``: |D|·|shingles| rows pinned in executor memory is the
+    100 TB failure mode (same lesson as the lake's parquet staging,
+    sources/lake.py); when None the (cheap, codegen'd) explode recomputes."""
+    sh = shingle_table(df, text_col, id_col, n)
+    if scratch_dir:
+        sh.write.mode("overwrite").parquet(scratch_dir)
+        sh = df.sparkSession.read.parquet(scratch_dir)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
 
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -100,9 +112,18 @@ def ngram_jaccard_pairs(
 
     a = rare.select(F.col(id_col).alias("id_a"), "shingle")
     b = rare.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
+    cand = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact intersection per candidate pair over ALL shingles (incl. the
+    # ubiquitous ones excluded from candidate generation — ADVICE fix: the
+    # blocked join alone systematically underestimates jaccard)
+    inter = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

@@ -15,6 +15,7 @@ Portability rules learned the hard way (see functions/hashing.py):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,6 +32,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 OP_CASE_SQL = (
     "CASE WHEN event_type = 'signup' THEN 'c' "
     "WHEN event_type = 'error' THEN 'd' ELSE 'u' END"
+)
+
+
+_WORK = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "_work"
 )
 
 
@@ -370,7 +376,8 @@ FROM documents GROUP BY 1
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.01, n=5, max_df=20
+        _t(spark, sf_dir, "documents"), threshold=0.5, n=5, max_df=20,
+        scratch_dir=os.path.join(_WORK, "ngram_shingles"),
     )
 
 
@@ -384,9 +391,14 @@ WITH sh AS (
   SELECT * FROM sh WHERE shingle IN (
     SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 20
   )
-), inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, n_inter, sa.set_size AS size_a, sb.set_size AS size_b,
@@ -394,7 +406,7 @@ SELECT id_a, id_b, n_inter, sa.set_size AS size_a, sb.set_size AS size_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= 0.01
+WHERE round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= 0.5
 """
 
 MINHASH_K_ORACLE = 8
@@ -587,13 +599,123 @@ WHERE round({dot.format(a='a.embedding', b='b.embedding')}
 """
 
 
+_IVF_CENTROIDS = os.path.join(_WORK, "ivf_centroids")
+
+# squared-L2 between two DOUBLE lists, sequential fold (bit-compatible with
+# Spark's F.aggregate(zip_with(...)) — same rationale as _DOT)
+_SQDIST = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+)
+
+
 def q_ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-probed approximate top-k (iterative k-means coarse quantizer —
-    not SQL-expressible, driver records the rows-only check; exact-recall
-    behavior is pinned by tests/test_text_ops.py)."""
+    """IVF-probed approximate top-k. The iterative k-means quantizer is not
+    SQL-expressible, so its (deterministic) centroids are staged as parquet
+    for the oracle, which independently re-derives everything downstream of
+    them: corpus cell assignment, query probing, scoring, ranking."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.cosine_topk_ivf(emb, queries, k=3, n_centroids=8, n_probe=2)
+    assigned, cents = similarity.ivf_assign(emb, n_centroids=8)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(_IVF_CENTROIDS, exist_ok=True)
+    tbl = pa.table(
+        {"cell": [i for i, _ in cents], "centroid": [c for _, c in cents]},
+        schema=pa.schema([("cell", pa.int32()), ("centroid", pa.list_(pa.float64()))]),
+    )
+    pq.write_table(tbl, os.path.join(_IVF_CENTROIDS, "cents.parquet"))
+    return similarity.cosine_topk_ivf(
+        emb, queries, k=3, n_centroids=8, n_probe=2, assigned=assigned, cents=cents
+    )
+
+
+def _ivf_sql() -> str:
+    """Everything downstream of the staged centroids, in SQL: argmin cell
+    assignment (ties → lowest cell), n_probe=2 nearest cells per query,
+    within-cell cosine scoring, rank by (cos DESC, id ASC)."""
+    d_ec = _SQDIST.format(a="e.embedding", b="c.centroid")
+    dot = _DOT
+    return f"""
+WITH cent AS (SELECT * FROM read_parquet('{_IVF_CENTROIDS}/*.parquet')),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d_ec} ASC, c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qv, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d_ec} ASC, c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round({dot.format(a='p.qv', b='a.embedding')}
+               / (sqrt({dot.format(a='p.qv', b='p.qv')}) * sqrt({dot.format(a='a.embedding', b='a.embedding')})), 6)
+           AS cos_sim
+  FROM assigned a JOIN probe p ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim FROM ranked WHERE rank <= 3
+"""
+
+
+ANN_LSH_PLANES = 3
+
+
+def q_ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH-bucketed approximate top-k — the SQL-expressible ANN scale
+    path (the deterministic ±1 planes replicate exactly in the oracle)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.cosine_topk_lsh(emb, queries, k=3, n_planes=ANN_LSH_PLANES)
+
+
+def _ann_lsh_sql() -> str:
+    """Replicates similarity._plane_sign buckets (+1 iff (d*(b+3)+b*b)%7<3)
+    and the (cos DESC, id ASC) rank over within-bucket candidates."""
+    def plane(b: int, v: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({v}, range(len({v}))), "
+            f"p -> CAST(p[1] AS DOUBLE) * (CASE WHEN (p[2] * {b + 3} + {b * b}) % 7 < 3 THEN 1.0 ELSE -1.0 END)))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {plane(b, 'embedding')} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(ANN_LSH_PLANES)
+    )
+    dot = _DOT
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding, {bucket} AS bkt FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bkt FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         round({dot.format(a='q.qv', b='v.embedding')}
+               / (sqrt({dot.format(a='q.qv', b='q.qv')}) * sqrt({dot.format(a='v.embedding', b='v.embedding')})), 6)
+           AS cos_sim
+  FROM v JOIN q ON v.bkt = q.bkt
+  WHERE v.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim FROM ranked WHERE rank <= 3
+"""
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -652,6 +774,7 @@ def queries() -> dict[str, QueryFn]:
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
         "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
@@ -679,6 +802,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql(),
         "simhash_neardup": _simhash_neardup_sql(),
         "ann_cosine_topk": SQL_ANN_TOPK,
+        "ann_cosine_topk_lsh": _ann_lsh_sql(),
+        "ann_cosine_topk_ivf": _ivf_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "frame_sample_plan": SQL_FRAME_SAMPLE,

@@ -78,3 +78,50 @@ def test_merge_broadcasts_small_update_side(spark, tmp_path):
     plan = plan_of(joined)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_exact_topk_is_two_stage_bounded(spark):
+    """cosine_topk must pre-reduce per input partition (groupBy(query,
+    partition_id) -> slice k) before the final per-query reduce: two
+    aggregate pairs around two exchanges, no aggregation buffer ever
+    holding the whole corpus for one query (the 10^9-row failure mode)."""
+    from debezium_connector_cockroachdb_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    plan = plan_of(cosine_topk(emb, q, k=2))
+    assert "Window" not in plan
+    # stage 1 groups on (query_id, SPARK_PARTITION_ID), stage 2 on query_id
+    assert "SPARK_PARTITION_ID" in plan.upper() or "spark_partition_id" in plan
+    agg_nodes = plan.count("ObjectHashAggregate") + plan.count("SortAggregate") + plan.count("HashAggregate")
+    assert agg_nodes >= 4, plan
+
+
+def test_exact_topk_two_stage_equals_global_sort(spark):
+    """Property: the two-stage bounded top-k equals the naive global-sort
+    top-k (top-k is distributive over partition unions)."""
+    from pyspark.sql import Window
+
+    from debezium_connector_cockroachdb_spark.operators.similarity import cosine, cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").repartition(7)
+    q = emb.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in cosine_topk(emb, q, k=3).collect()
+    }
+    scored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cv"))
+        .crossJoin(q.select("query_id", F.col("embedding").alias("_qv")))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3).collect()
+    }
+    assert got == want
