@@ -111,16 +111,20 @@ def convert_bool(col: Column) -> Column:
 
 
 def decode_bytes_literal(col: Column) -> Column:
-    """C5 — bytea hex literal ``\\x01ff`` → binary; base64 fallback;
-    odd-length hex → null (decodeBytesLiteral, …Provider.java:358-388)."""
+    """C5 — bytea hex literal ``\\x01ff`` (either prefix case) → binary;
+    base64 fallback only for well-formed base64; anything undecodable →
+    null, matching the reference's null-on-bad-input contract
+    (decodeBytesLiteral, …Provider.java:358-388)."""
     hex_part = F.substring(col, 3, 1_000_000_000)
-    is_hex = col.startswith("\\x")
+    is_hex = col.startswith("\\x") | col.startswith("\\X")
     valid_hex = hex_part.rlike("^([0-9a-fA-F]{2})*$")
+    valid_b64 = col.rlike("^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$")
     return (
         F.when(col.isNull(), F.lit(None).cast("binary"))
         .when(is_hex & valid_hex, F.unhex(hex_part))
         .when(is_hex, F.lit(None).cast("binary"))
-        .otherwise(F.unbase64(col))
+        .when(valid_b64, F.unbase64(col))
+        .otherwise(F.lit(None).cast("binary"))
     )
 
 

@@ -64,18 +64,25 @@ def last_writer_wins(df: DataFrame, pk_col: str = "pk", broadcast_keys: bool = T
     cond = (F.col(pk_col) == F.col("_w_pk"))
     for c in ORDERING:
         cond = cond & (F.col(c) == F.col(f"_w_{c}"))
-    return df.join(win, on=cond, how="inner").select(*df.columns)
+    # redelivered copies of the WINNER row (same pk + full ordering tuple —
+    # possible when the source's seq is only per-partition-unique, e.g.
+    # Kafka at-least-once re-reads) would all survive the join-back and
+    # violate the CoW merge's one-row-per-pk precondition. Dedup here costs
+    # a shuffle of only the ~#keys winner rows, never the full batch.
+    return df.join(win, on=cond, how="inner").select(*df.columns).dropDuplicates([pk_col])
 
 
 def dedupe_batch(df: DataFrame, pk_col: str = "pk") -> DataFrame:
     """Batch-local dedup for the apply path.
 
-    NOTE: the identity ``dropDuplicates`` (the reference's LRU check) is
-    deliberately NOT run here — it is subsumed by last-writer-wins:
-    identity-duplicates carry identical payloads so either copy wins
-    equivalently, and the same-HLC delete+insert tie-break already rides on
-    ``seq``. The reference needs the LRU because it re-dispatches events
-    downstream one by one; our sink applies only the per-key winner, so the
-    extra full shuffle would buy nothing. ``drop_duplicate_events`` remains
-    available for metrics/audit flows."""
+    NOTE: a full-batch identity ``dropDuplicates`` (the reference's LRU
+    check) is deliberately NOT run here — it is subsumed by
+    last-writer-wins: identity-duplicates carry identical payloads so
+    either copy wins equivalently, the same-HLC delete+insert tie-break
+    rides on ``seq``, and redelivered copies of the winner itself (same
+    full ordering tuple) collapse in the winner-side dedup inside
+    ``last_writer_wins`` — a ~#keys-row shuffle, not a full-batch one.
+    The reference needs the LRU because it re-dispatches events downstream
+    one by one; our sink applies only the per-key winner.
+    ``drop_duplicate_events`` remains available for metrics/audit flows."""
     return last_writer_wins(df, pk_col)

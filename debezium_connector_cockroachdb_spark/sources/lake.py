@@ -144,6 +144,22 @@ class SnapshotTable:
         old = self.schema
         if new_schema.jsonValue() == old.jsonValue():
             return self.meta["current_schema_id"]
+        # pk stability: bucket membership of existing files was frozen under
+        # xxhash64(pk) at the pk's current type — dropping the pk or
+        # changing its type would hash new updates into different buckets
+        # and duplicate keys. Reject both.
+        pk = self.pk_col
+        new_by_name = {f.name: f for f in new_schema.fields}
+        if pk not in new_by_name:
+            raise ValueError(f"schema evolution cannot drop the pk column {pk!r}")
+        old_pk_type = next(f for f in old.fields if f.name == pk).dataType
+        if new_by_name[pk].dataType != old_pk_type:
+            raise ValueError(
+                f"schema evolution cannot change the pk column type "
+                f"({old_pk_type.simpleString()} -> {new_by_name[pk].dataType.simpleString()}): "
+                "bucket assignment hashes the pk at its type and existing "
+                "file bucket membership is frozen"
+            )
         meta = json.loads(json.dumps(self.meta))
         sid = max(s["id"] for s in meta["schemas"]) + 1
         meta["schemas"].append({"id": sid, "spark": new_schema.jsonValue()})

@@ -142,6 +142,30 @@ class CDCPipeline:
         self.registry_version, self.specs = load_registry_specs(cfg.log_dir)
         if SnapshotTable.exists(cfg.table_path):
             self.table = SnapshotTable.load(cfg.table_path)
+            # X1 resume-compatibility fail-fast: refuse to resume against a
+            # table created under incompatible physical config — the
+            # analogue of the reference refusing to reuse a changefeed with
+            # a non-enriched envelope / missing diff option
+            # (CockroachDBStreamingChangeEventSource.java:455-481; IT
+            # CockroachDBRegressionScenariosIT "diff-option reuse").
+            mismatches = []
+            if self.table.pk_col != cfg.pk_name:
+                mismatches.append(f"pk_name: table={self.table.pk_col!r} config={cfg.pk_name!r}")
+            if self.table.meta["num_buckets"] != cfg.num_buckets:
+                mismatches.append(
+                    f"num_buckets: table={self.table.meta['num_buckets']} config={cfg.num_buckets}"
+                )
+            if self.table.merge_mode != cfg.merge_mode:
+                mismatches.append(
+                    f"merge_mode: table={self.table.merge_mode!r} config={cfg.merge_mode!r}"
+                )
+            if mismatches:
+                raise ValueError(
+                    "incompatible resume: existing table at "
+                    f"{cfg.table_path} was created with different physical "
+                    "config (" + "; ".join(mismatches) + ") — silent resume "
+                    "would bucket/merge rows inconsistently"
+                )
         else:
             self.table = SnapshotTable.create(
                 cfg.table_path, user_schema(self.specs), cfg.pk_name, cfg.num_buckets,
@@ -373,25 +397,34 @@ class CDCPipeline:
         in the parse pass) against the registered schema — once per
         micro-batch on the driver, the structural win over the reference's
         per-event check (§4). Deletes never contribute (no after image,
-        …StreamingChangeEventSource.java:826-835). Returns True when the
-        schema was refreshed (caller re-parses the batch)."""
+        …StreamingChangeEventSource.java:826-835). Both hasSchemaChanged
+        clauses (…java:1302-1326) are mirrored: a NEW field not in the
+        registered schema, or a registered NON-NULLABLE column absent from
+        some event's after image (DROP COLUMN signal) each trigger a
+        registry re-read. Returns True when the schema was refreshed
+        (caller re-parses the batch)."""
         import json as _json
 
-        incoming: set[str] = set()
-        for ks in key_sets or []:
-            if ks:
-                incoming.update(_json.loads(ks))
+        sets = [set(_json.loads(ks)) for ks in (key_sets or []) if ks]
+        incoming: set[str] = set().union(*sets) if sets else set()
         known = {f.name for f in self.table.schema.fields}
-        if not incoming or incoming.issubset(known):
+        new_fields = incoming - known
+        required = {s.name for s in self.specs if not s.nullable}
+        dropped_signal = any(required - s for s in sets)
+        if not new_fields and not dropped_signal:
             return False
         ver, specs = load_registry_specs(self.cfg.log_dir)
         new_schema = user_schema(specs)
-        if not incoming.issubset({f.name for f in new_schema.fields}):
+        if new_fields and not new_fields.issubset({f.name for f in new_schema.fields}):
             # registry doesn't know the field either → retriable failure;
             # the batch replays (E2 fail-retriable, dbz#2322)
             raise RuntimeError(
-                f"schema drift: fields {sorted(incoming - known)} not in registry v{ver}"
+                f"schema drift: fields {sorted(new_fields)} not in registry v{ver}"
             )
+        if ver == self.registry_version and not new_fields:
+            # absence of a required column without a registry change is
+            # data-shape noise (e.g. partial images), not a DDL — no-op
+            return False
         self.specs = specs
         self.registry_version = ver
         self.table.evolve_schema(new_schema)
@@ -421,7 +454,13 @@ class CDCPipeline:
             return kafka.select(
                 F.col("topic"),
                 F.col("partition"),
-                F.col("offset"),
+                # Kafka offsets are only unique per partition; downstream
+                # ordering/dedup needs a globally-unique seq, so fold the
+                # partition into the low bits (≤4096 partitions, offsets to
+                # 2^51 — the (partition, offset) composite from the
+                # consumer-offset map, CockroachDBOffsetContext.java:37-53)
+                (F.shiftleft(F.col("offset"), 12)
+                 + F.pmod(F.col("partition").cast("long"), F.lit(4096))).alias("offset"),
                 F.unix_millis(F.col("timestamp")).alias("ts_ms"),
                 F.col("key").cast("string").alias("key"),
                 F.col("value").cast("string").alias("value"),

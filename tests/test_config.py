@@ -64,3 +64,40 @@ def test_kafka_source_gates_without_package(spark, tmp_path):
     )
     with pytest.raises(Exception, match="kafka"):
         pipe.start_stream()
+
+
+def _mk_table(spark, tmp_path, **cfg_kw):
+    from debezium_connector_cockroachdb_spark.sources.generator import GeneratorConfig, write_log
+
+    log = str(tmp_path / "log")
+    write_log(spark, GeneratorConfig(num_keys=5, num_events=20, n_files=1), log)
+    base = dict(log_dir=log, table_path=str(tmp_path / "t"), num_buckets=4)
+    base.update(cfg_kw)
+    CDCPipeline(spark, mk(**base))  # creates the table
+    return base
+
+
+def test_resume_rejects_pk_mismatch(spark, tmp_path):
+    """X1 fail-fast: resuming with a different pk silently re-buckets —
+    refuse, like the reference refuses changefeed reuse with wrong options
+    (…StreamingChangeEventSource.java:455-481)."""
+    base = _mk_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="pk_name"):
+        CDCPipeline(spark, mk(**{**base, "pk_name": "n_tok"}))
+
+
+def test_resume_rejects_bucket_mismatch(spark, tmp_path):
+    base = _mk_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="num_buckets"):
+        CDCPipeline(spark, mk(**{**base, "num_buckets": 8}))
+
+
+def test_resume_rejects_merge_mode_mismatch(spark, tmp_path):
+    base = _mk_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="merge_mode"):
+        CDCPipeline(spark, mk(**{**base, "merge_mode": "mor"}))
+
+
+def test_resume_accepts_identical_config(spark, tmp_path):
+    base = _mk_table(spark, tmp_path)
+    CDCPipeline(spark, mk(**base))  # no raise

@@ -116,3 +116,27 @@ def test_post_convert_dispatch(spark):
     df = spark.createDataFrame([("\\x0a",)], "v string")
     r = df.select(post_convert(ColumnSpec("b", "BYTES"), F.col("v")).alias("r")).collect()[0]["r"]
     assert r == bytearray(b"\x0a")
+
+
+def test_bytes_uppercase_hex_prefix(spark):
+    r"""Reference decodeBytesLiteral accepts both '\x' and '\X' prefixes;
+    an uppercase literal must hex-decode, never fall through to base64."""
+    df = spark.range(1).select(
+        decode_bytes_literal(F.lit("\\X01ff")).alias("b"),
+        decode_bytes_literal(F.lit("\\Xzz")).alias("bad_hex"),
+    )
+    row = df.collect()[0]
+    assert row["b"] == b"\x01\xff"
+    assert row["bad_hex"] is None
+
+
+def test_bytes_invalid_base64_nulls(spark):
+    """Undecodable non-hex input yields null like the reference, instead of
+    unbase64's lenient garbage decode."""
+    df = spark.range(1).select(
+        decode_bytes_literal(F.lit("!!not base64!!")).alias("bad"),
+        decode_bytes_literal(F.lit("AQ==")).alias("good"),
+    )
+    row = df.collect()[0]
+    assert row["bad"] is None
+    assert row["good"] == b"\x01"

@@ -82,3 +82,22 @@ def test_dedupe_batch_one_row_per_key(spark):
     assert set(got) == {"a", "b"}
     # redeliveries carry identical payloads; either copy may survive
     assert got["a"]["val"] == "v2" and got["a"]["commit_wall_ns"] == 200
+
+
+def test_redelivered_winner_same_seq_collapses(spark):
+    """Kafka-style redelivery: two copies of the SAME record share even the
+    seq (per-partition offsets). dedupe_batch must still emit one row per
+    key (the CoW merge's one-match-row precondition)."""
+    rows = [
+        ("t", "u", 100, 0, 7, "k1", "v1"),
+        ("t", "u", 100, 0, 7, "k1", "v1"),  # exact redelivery, same seq
+        ("t", "u", 90, 0, 3, "k1", "v0"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "table_name string, op string, commit_wall_ns long, commit_logical long, "
+        "seq long, pk string, payload string",
+    )
+    out = dedupe_batch(df, "pk").collect()
+    assert len(out) == 1
+    assert out[0]["payload"] == "v1"

@@ -222,3 +222,28 @@ def test_snapshot_isolation_for_pinned_readers(spark, tmp_table_dir):
     new = {r["doc_id"]: list(r["tokens"]) for r in SnapshotTable.load(t.path).read_state(spark).collect()}
     assert old == {"a": [1]}
     assert new == {"a": [9], "b": [2]}
+
+
+def test_evolve_rejects_pk_drop_and_type_change(spark, tmp_table_dir):
+    """Bucket membership is frozen under xxhash64(pk) at the pk's type —
+    evolution must reject pk drops and pk type changes."""
+    import pytest
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("v", T.IntegerType(), True),
+    ])
+    t = SnapshotTable.create(tmp_table_dir, schema, "doc_id", num_buckets=4)
+    with pytest.raises(ValueError, match="drop the pk"):
+        t.evolve_schema(T.StructType([T.StructField("v", T.IntegerType(), True)]))
+    with pytest.raises(ValueError, match="pk column type"):
+        t.evolve_schema(T.StructType([
+            T.StructField("doc_id", T.BinaryType(), True),
+            T.StructField("v", T.IntegerType(), True),
+        ]))
+    # widening a NON-pk column stays allowed
+    t.evolve_schema(T.StructType([
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("v", T.LongType(), True),
+    ]))

@@ -261,3 +261,46 @@ def test_mor_skip_batch_dedup_matches_oracle(spark, tmp_path):
     pipe.run_to_completion(seed_df=seed)
     got = normalize(pipe.read_state().collect())
     assert_state_equal(got, run_oracle(spark, log_dir, seed))
+
+
+def test_exact_drift_detects_dropped_column(spark, tmp_path):
+    """hasSchemaChanged's second clause (…StreamingChangeEventSource.java:
+    1302-1326): a registered NON-NULLABLE column absent from an event's
+    after image signals a DROP COLUMN — exact mode must re-read the
+    registry and evolve even though no NEW field appears. Absence without
+    a registry change stays a no-op (partial-image noise)."""
+    import json as _json
+
+    from pyspark.sql import Row
+
+    gcfg, icfg, log_dir, seed = build_env(
+        spark, tmp_path, ingest_kw={"drift_mode": "exact"}
+    )
+    pipe = CDCPipeline(spark, icfg)
+    pipe.run_to_completion(seed_df=seed)
+    assert "source" in [f.name for f in pipe.table.schema.fields]
+
+    partial = spark.createDataFrame(
+        [Row(topic="t", partition=0, offset=10**9, ts_ms=0, key='["p1"]',
+             value='{"after":{"doc_id":"p1","tokens":[1],"n_tok":1},"op":"c","ts_ns":1}')],
+        "topic string, partition int, offset long, ts_ms long, key string, value string",
+    )
+    # non-nullable `source` missing but registry unchanged → no evolve
+    pipe.process_batch(partial, batch_id=20000)
+    assert "source" in [f.name for f in pipe.table.schema.fields]
+
+    # registry advertises v3 without `source` → the same shape now evolves
+    with open(os.path.join(log_dir, "_schema", "v3.json"), "w") as f:
+        _json.dump({"version": 3, "columns": [
+            {"name": "doc_id", "crdb_type": "STRING", "nullable": False},
+            {"name": "tokens", "crdb_type": "INT4[]", "nullable": False},
+            {"name": "n_tok", "crdb_type": "INT4", "nullable": False},
+        ]}, f)
+    dropped = spark.createDataFrame(
+        [Row(topic="t", partition=0, offset=10**9 + 1, ts_ms=0, key='["p2"]',
+             value='{"after":{"doc_id":"p2","tokens":[2],"n_tok":1},"op":"c","ts_ns":2}')],
+        "topic string, partition int, offset long, ts_ms long, key string, value string",
+    )
+    pipe.process_batch(dropped, batch_id=20001)
+    names = [f.name for f in pipe.table.schema.fields]
+    assert "source" not in names and "doc_id" in names
