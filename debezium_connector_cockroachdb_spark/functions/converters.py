@@ -37,6 +37,15 @@ class ColumnSpec:
     precision: int | None = None
     scale: int | None = None
     nullable: bool = True  # every mapped schema is optional (…Provider.java:142-146)
+    # raw CRDB default-value SQL literal (e.g. "'PENDING':::STRING") from
+    # information_schema; parsed by functions/defaults.py (C14) and applied
+    # when reading rows written before the column existed. Function-call
+    # defaults (now(), ...) stay None-filled — the DB computes those
+    # (CockroachDBDefaultValueConverter.java:41-59).
+    default_sql: str | None = None
+    # binary.handling.mode for BYTES columns: "bytes" (BinaryType) |
+    # "base64" | "hex" (string output) — …Provider.java:309-340
+    binary_mode: str = "bytes"
 
 
 def _base_type(crdb_type: str) -> str:
@@ -188,13 +197,26 @@ def convert_vector(col_or_parsed: Column, already_array: bool = True) -> Column:
     return F.from_json(col_or_parsed, T.ArrayType(T.DoubleType()))
 
 
+def apply_binary_handling(decoded: Column, mode: str) -> Column:
+    """binary.handling.mode output shaping (…Provider.java:309-340):
+    ``bytes`` keeps BinaryType; ``base64``/``hex`` re-encode to strings for
+    sinks that can't carry raw bytes."""
+    if mode == "bytes":
+        return decoded
+    if mode == "base64":
+        return F.base64(decoded)
+    if mode == "hex":
+        return F.lower(F.hex(decoded))
+    raise ValueError(f"unknown binary.handling.mode {mode!r}")
+
+
 def post_convert(spec: ColumnSpec, col: Column) -> Column:
     """Dispatch C1–C13 for one column after ``from_json``."""
     t = _base_type(spec.crdb_type)
     if t in {"BOOL", "BOOLEAN"}:
         return convert_bool(col)
     if t in _BYTES:
-        return decode_bytes_literal(col)
+        return apply_binary_handling(decode_bytes_literal(col), spec.binary_mode)
     if t == "DATE":
         return convert_date(col)
     if t == "TIME":
@@ -217,7 +239,7 @@ def spark_output_type(spec: ColumnSpec) -> T.DataType:
     if t in {"BOOL", "BOOLEAN"}:
         return T.BooleanType()
     if t in _BYTES:
-        return T.BinaryType()
+        return T.BinaryType() if spec.binary_mode == "bytes" else T.StringType()
     if t == "DATE":
         return T.DateType()
     if t in {"TIME", "TIMESTAMP"}:

@@ -263,6 +263,158 @@ SELECT event_id, epoch_us(ts) AS ts_us FROM events
 """
 
 
+def q_alltypes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/C4/C5/C6/C7/C8/C9/C10/C11/C12/C13 through the REAL envelope
+    parser (sources/envelope.parse_changefeed): typed envelope JSON built
+    from orders rows, parsed under declared CRDB column types, projected to
+    DuckDB-comparable scalars (the CockroachDBAllTypesIT.java:44-161
+    analogue behind the value-exact gate). c_bytes also exercises
+    binary.handling.mode='hex'."""
+    from ..functions.converters import ColumnSpec
+    from ..sources.envelope import parse_changefeed
+
+    specs = [
+        ColumnSpec("id", "INT8", nullable=False),
+        ColumnSpec("c_bool", "BOOL"),
+        ColumnSpec("c_dec", "DECIMAL", 18, 3),
+        ColumnSpec("c_str", "STRING"),
+        ColumnSpec("c_bytes", "BYTES", binary_mode="hex"),
+        ColumnSpec("c_date", "DATE"),
+        ColumnSpec("c_time", "TIME"),
+        ColumnSpec("c_timetz", "TIMETZ"),
+        ColumnSpec("c_ts", "TIMESTAMP"),
+        ColumnSpec("c_tstz", "TIMESTAMPTZ"),
+        ColumnSpec("c_js", "JSONB"),
+        ColumnSpec("c_toks", "INT4[]"),
+        ColumnSpec("c_vec", "VECTOR"),
+    ]
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    h = (k % 24).cast("int")
+    m = (k % 60).cast("int")
+    s = ((k * 7) % 60).cast("int")
+    ms = (k % 1000).cast("int")
+    value = F.concat(
+        F.lit('{"after":{"id":'), k.cast("string"),
+        F.lit(',"c_bool":"'),
+        F.element_at(F.array(F.lit("t"), F.lit("false"), F.lit("1"), F.lit("yes")), (k % 4 + 1).cast("int")),
+        F.lit('","c_dec":'), k.cast("string"), F.lit(".125"),
+        F.lit(',"c_str":"'), F.col("o_orderpriority"),
+        F.lit('","c_bytes":"\\\\x'), F.substring(F.md5(k.cast("string")), 1, 8),
+        F.lit('","c_date":"'), F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.lit('","c_time":"'), F.format_string("%02d:%02d:%02d.%03d", h, m, s, ms),
+        F.lit('","c_timetz":"'), F.format_string("%02d:%02d:%02d+05", h, m, s),
+        F.lit('","c_ts":"'), F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit('","c_tstz":"'), F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("+02"),
+        F.lit('","c_js":"{\\"k\\": '), k.cast("string"), F.lit('}"'),
+        F.lit(',"c_toks":['), (k % 100).cast("string"), F.lit(","), ((k * 3) % 100).cast("string"),
+        F.lit('],"c_vec":[0.5,'), (k * 0.25).cast("string"),
+        F.lit(']},"op":"c","ts_ns":'), k.cast("string"), F.lit("}"),
+    )
+    raw = o.select(
+        F.lit("crdb.public.alltypes").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        k.alias("offset"),
+        F.lit(0).cast("long").alias("ts_ms"),
+        F.to_json(F.array(k.cast("string"))).alias("key"),
+        value.alias("value"),
+    )
+    parsed = parse_changefeed(raw, specs, "id")
+    a = F.col("after")
+    return parsed.select(
+        a["id"].alias("id"),
+        a["c_bool"].alias("c_bool"),
+        a["c_dec"].cast("string").alias("c_dec"),
+        a["c_str"].alias("c_str"),
+        a["c_bytes"].alias("c_bytes_hex"),
+        F.date_format(a["c_date"], "yyyy-MM-dd").alias("c_date"),
+        a["c_time"].alias("c_time_us"),
+        a["c_timetz"].alias("c_timetz"),
+        a["c_ts"].alias("c_ts_us"),
+        F.unix_micros(a["c_tstz"]).alias("c_tstz_us"),
+        a["c_js"].alias("c_js"),
+        F.get(a["c_toks"], 0).alias("tok0"),
+        F.get(a["c_toks"], 1).alias("tok1"),
+        F.get(a["c_vec"], 1).alias("vec1"),
+    )
+
+
+SQL_ALLTYPES = """
+SELECT o_orderkey AS id,
+       (o_orderkey % 4) <> 1 AS c_bool,
+       CAST(o_orderkey AS VARCHAR) || '.125' AS c_dec,
+       o_orderpriority AS c_str,
+       substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS c_bytes_hex,
+       strftime(o_orderdate, '%Y-%m-%d') AS c_date,
+       ((o_orderkey % 24) * 3600 + (o_orderkey % 60) * 60 + (o_orderkey * 7) % 60) * 1000000
+         + (o_orderkey % 1000) * 1000 AS c_time_us,
+       printf('%02d:%02d:%02d+05:00', CAST(o_orderkey % 24 AS INT), CAST(o_orderkey % 60 AS INT),
+              CAST((o_orderkey * 7) % 60 AS INT)) AS c_timetz,
+       epoch_us(o_orderdate) AS c_ts_us,
+       epoch_us(o_orderdate) - 7200000000 AS c_tstz_us,
+       '{"k": ' || CAST(o_orderkey AS VARCHAR) || '}' AS c_js,
+       CAST(o_orderkey % 100 AS INT) AS tok0,
+       CAST((o_orderkey * 3) % 100 AS INT) AS tok1,
+       o_orderkey * 0.25 AS vec1
+FROM orders
+"""
+
+
+_DEFAULTS_TABLE = os.path.join(_WORK, "defaults_table")
+
+
+def q_schema_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14 end-to-end: rows merged under schema v1, then a registry DDL
+    adds columns with defaults — a literal default ('PENDING', 42) fills
+    pre-DDL rows at read; a function default (now()) stays null
+    (CockroachDBDefaultValueConverter.java:41-59,164-210)."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from ..functions.converters import ColumnSpec
+    from ..sources.lake import SnapshotTable
+    from ..streaming.pipeline import registry_defaults
+
+    shutil.rmtree(_DEFAULTS_TABLE, ignore_errors=True)
+    v1 = T.StructType([
+        T.StructField("ck", T.LongType(), True),
+        T.StructField("name", T.StringType(), True),
+    ])
+    table = SnapshotTable.create(_DEFAULTS_TABLE, v1, "ck", num_buckets=8)
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), F.col("c_name").alias("name"),
+        F.lit("c").alias("op"), F.lit(1).cast("long").alias("commit_wall_ns"),
+        F.lit(0).cast("long").alias("commit_logical"), F.col("c_custkey").alias("seq"),
+    )
+    table.merge(spark, cust, "b1")
+
+    v2_specs = [
+        ColumnSpec("ck", "INT8", nullable=False),
+        ColumnSpec("name", "STRING"),
+        ColumnSpec("status", "STRING", default_sql="'PENDING':::STRING"),
+        ColumnSpec("score", "INT8", default_sql="42:::INT8"),
+        ColumnSpec("created", "TIMESTAMPTZ", default_sql="now():::TIMESTAMPTZ"),
+    ]
+    v2 = T.StructType(list(v1.fields) + [
+        T.StructField("status", T.StringType(), True),
+        T.StructField("score", T.LongType(), True),
+        T.StructField("created", T.TimestampType(), True),
+    ])
+    table.evolve_schema(v2, defaults=registry_defaults(v2_specs))
+    st = table.read_state(spark)
+    return st.select(
+        "ck", "name", "status", "score", F.unix_micros("created").alias("created_us")
+    )
+
+
+SQL_SCHEMA_DEFAULTS = """
+SELECT c_custkey AS ck, c_name AS name, 'PENDING' AS status,
+       CAST(42 AS BIGINT) AS score, CAST(NULL AS BIGINT) AS created_us
+FROM customer
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-data operators over `documents` / `embeddings`
 # --------------------------------------------------------------------------
@@ -765,6 +917,8 @@ def queries() -> dict[str, QueryFn]:
         "envelope_extract": q_envelope_extract,
         "bytea_roundtrip": q_bytea_roundtrip,
         "temporal_micros": q_temporal_micros,
+        "alltypes_roundtrip": q_alltypes_roundtrip,
+        "schema_defaults": q_schema_defaults,
         "text_analysis": q_text_analysis,
         "dedup_exact": q_dedup_exact,
         "corpus_curation": q_corpus_curation,
@@ -793,6 +947,8 @@ def oracle_sql() -> dict[str, str]:
         "envelope_extract": SQL_ENVELOPE_EXTRACT,
         "bytea_roundtrip": SQL_BYTEA_ROUNDTRIP,
         "temporal_micros": SQL_TEMPORAL_MICROS,
+        "alltypes_roundtrip": SQL_ALLTYPES,
+        "schema_defaults": SQL_SCHEMA_DEFAULTS,
         "text_analysis": SQL_TEXT_ANALYSIS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "corpus_curation": _corpus_curation_sql(),

@@ -17,8 +17,13 @@ Semantics are pinned to envelope.parse_changefeed by an equivalence test
 
 from __future__ import annotations
 
+import base64
+import binascii
+import datetime
 import json
+import re
 from collections.abc import Iterator
+from decimal import Decimal, InvalidOperation
 from typing import Any
 
 import pandas as pd
@@ -53,7 +58,9 @@ def _parse_one(
         out["is_control"] = True
         return out
     try:
-        doc = json.loads(value)
+        # parse_float=Decimal: digit-exact decimals, same contract as the
+        # JVM parser's DecimalType from_json (dbz#2256 regression)
+        doc = json.loads(value, parse_float=Decimal)
         if not isinstance(doc, dict):
             raise ValueError("not an object")
     except ValueError:
@@ -115,32 +122,100 @@ def _parse_one(
     return out
 
 
+_UTC = datetime.timezone.utc
+_HOUR_OFFSET_RE = re.compile(r"([+-]\d{2})$")
+_ZONED_RE = re.compile(r"(Z|[+-]\d{2}:\d{2})$")
+_B64_RE = re.compile(r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$")
+_HEX_RE = re.compile(r"^([0-9a-fA-F]{2})*$")
+
+
+def _normalize_zoned(s: str) -> str:
+    """CockroachDBTemporalConversions.java:137-166 analogue: widen trailing
+    hour-only offsets to +HH:MM; zoneless → UTC."""
+    s = _HOUR_OFFSET_RE.sub(r"\1:00", s.strip())
+    if s.endswith("Z"):
+        return s[:-1] + "+00:00"
+    if not _ZONED_RE.search(s):
+        return s + "+00:00"
+    return s
+
+
+def _epoch_micros(dt: datetime.datetime) -> int:
+    td = dt.astimezone(_UTC) - datetime.datetime(1970, 1, 1, tzinfo=_UTC)
+    return td.days * 86_400_000_000 + td.seconds * 1_000_000 + td.microseconds
+
+
+def _decode_bytes(v: str) -> bytes | None:
+    """decode_bytes_literal twin (…Provider.java:358-388): \\x/\\X hex
+    literal, well-formed base64 fallback, null on undecodable."""
+    if v.startswith(("\\x", "\\X")):
+        hx = v[2:]
+        return bytes.fromhex(hx) if _HEX_RE.match(hx) else None
+    if _B64_RE.match(v):
+        try:
+            return base64.b64decode(v)
+        except (binascii.Error, ValueError):
+            return None
+    return None
+
+
 def _coerce(v: Any, spec: ColumnSpec) -> Any:
-    """Python-side analogue of converters.post_convert for the common type
-    set. Exotic types (bytea/temporal/decimal) intentionally raise — use
-    the JVM parser for those tables (documented limitation of this path)."""
+    """Python-side analogue of converters.post_convert — full §1.2 type
+    coverage, semantics pinned to the JVM path by the all-types
+    equivalence test (CockroachDBAllTypesIT.java:44-161 analogue)."""
     if v is None:
         return None
     t = spec.crdb_type.strip().upper().split("(")[0].strip()
-    if t in {"STRING", "TEXT", "VARCHAR", "CHAR", "NAME", "UUID", "INET", "ENUM",
-             "JSON", "JSONB", "INTERVAL", "GEOGRAPHY", "GEOMETRY"}:
-        return v if isinstance(v, str) else json.dumps(v)
-    if t in {"INT2", "INT4", "INT", "INTEGER", "INT8", "BIGINT", "SERIAL"}:
-        return int(v)
-    if t in {"FLOAT4", "FLOAT8", "FLOAT", "REAL", "DOUBLE PRECISION", "DOUBLE"}:
-        return float(v)
-    if t in {"BOOL", "BOOLEAN"}:
-        if isinstance(v, bool):
-            return v
-        return str(v).strip().lower() in {"true", "t", "1", "yes", "y", "on"}
-    if t.endswith("[]"):
-        return list(v) if isinstance(v, list) else None
-    if t == "VECTOR":
-        return [float(x) for x in v] if isinstance(v, list) else None
-    raise NotImplementedError(
-        f"arrow parse path does not convert CRDB type {spec.crdb_type!r}; "
-        "use sources.envelope.parse_changefeed (JVM) for this table"
-    )
+    try:
+        if t in {"STRING", "TEXT", "VARCHAR", "CHAR", "NAME", "UUID", "INET", "ENUM",
+                 "JSON", "JSONB", "INTERVAL", "GEOGRAPHY", "GEOMETRY", "BIT", "VARBIT"}:
+            return v if isinstance(v, str) else json.dumps(v)
+        if t in {"INT2", "INT4", "INT", "INTEGER", "INT8", "BIGINT", "SERIAL"}:
+            return int(v)
+        if t in {"FLOAT4", "FLOAT8", "FLOAT", "REAL", "DOUBLE PRECISION", "DOUBLE"}:
+            return float(v)
+        if t in {"BOOL", "BOOLEAN"}:
+            if isinstance(v, bool):
+                return v
+            return str(v).strip().lower() in {"true", "t", "1", "yes", "y", "on"}
+        if t in {"NUMERIC", "DECIMAL", "DEC"}:
+            # digit-exact: v is Decimal (parse_float) / int / str; rescale
+            # half-up like the JVM DecimalType conversion
+            d = v if isinstance(v, Decimal) else Decimal(str(v))
+            s = spec.scale if spec.scale is not None else 18
+            from decimal import ROUND_HALF_UP
+
+            return d.quantize(Decimal(1).scaleb(-s), rounding=ROUND_HALF_UP)
+        if t in {"BYTEA", "BYTES", "BLOB"}:
+            if spec.binary_mode not in ("bytes", "base64", "hex"):
+                # KeyError escapes the null-on-bad-value net: a config
+                # error must fail loudly, not null-fill
+                raise KeyError(f"unknown binary.handling.mode {spec.binary_mode!r}")
+            decoded = _decode_bytes(str(v))
+            if decoded is None or spec.binary_mode == "bytes":
+                return decoded
+            if spec.binary_mode == "base64":
+                return base64.b64encode(decoded).decode("ascii")
+            return decoded.hex()
+        if t == "DATE":
+            return datetime.date.fromisoformat(str(v).strip())
+        if t == "TIME":
+            tm = datetime.time.fromisoformat(str(v).strip())
+            return (tm.hour * 3600 + tm.minute * 60 + tm.second) * 1_000_000 + tm.microsecond
+        if t == "TIMETZ":
+            return _HOUR_OFFSET_RE.sub(r"\1:00", str(v).strip())
+        if t == "TIMESTAMP":
+            return _epoch_micros(datetime.datetime.fromisoformat(_normalize_zoned(str(v))))
+        if t in {"TIMESTAMPTZ", "TIMESTAMP WITH TIME ZONE"}:
+            dt = datetime.datetime.fromisoformat(_normalize_zoned(str(v)))
+            return dt.astimezone(_UTC).replace(tzinfo=None)  # session TZ = UTC
+        if t.endswith("[]"):
+            return list(v) if isinstance(v, list) else None
+        if t == "VECTOR":
+            return [float(x) for x in v] if isinstance(v, list) else None
+    except (ValueError, TypeError, InvalidOperation):
+        return None  # JVM converters null out unparseable values
+    return v if isinstance(v, str) else json.dumps(v)  # unknown type → optional string
 
 
 def parsed_schema(specs: list[ColumnSpec], pk_type: T.DataType) -> T.StructType:

@@ -250,7 +250,9 @@ def write_log(spark: SparkSession, cfg: GeneratorConfig, out_dir: str) -> None:
         with open(os.path.join(reg_dir, f"v{ver}.json"), "w") as f:
             json.dump(
                 {"version": ver, "columns": [
-                    {"name": c.name, "crdb_type": c.crdb_type, "nullable": c.nullable} for c in specs
+                    {"name": c.name, "crdb_type": c.crdb_type, "nullable": c.nullable,
+                     **({"default": c.default_sql} if c.default_sql else {})}
+                    for c in specs
                 ]},
                 f,
             )

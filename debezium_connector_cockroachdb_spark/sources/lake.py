@@ -136,11 +136,18 @@ class SnapshotTable:
     def pk_col(self) -> str:
         return self.meta["pk_col"]
 
-    def evolve_schema(self, new_schema: T.StructType) -> int:
+    def evolve_schema(
+        self, new_schema: T.StructType, defaults: dict[str, Any] | None = None
+    ) -> int:
         """Metadata-only commit: add-column / type-widen (E2 analogue —
         the reference re-reads information_schema and overwrites the
         registration, CockroachDBSchema.java:76-89; here old files align
-        lazily at read time)."""
+        lazily at read time).
+
+        ``defaults`` (C14): parsed column-default values keyed by column
+        name; rows written before a column existed read back its default
+        instead of null (function defaults are never registered — the DB
+        computes those, CockroachDBDefaultValueConverter.java:41-59)."""
         old = self.schema
         if new_schema.jsonValue() == old.jsonValue():
             return self.meta["current_schema_id"]
@@ -162,7 +169,10 @@ class SnapshotTable:
             )
         meta = json.loads(json.dumps(self.meta))
         sid = max(s["id"] for s in meta["schemas"]) + 1
-        meta["schemas"].append({"id": sid, "spark": new_schema.jsonValue()})
+        entry = {"id": sid, "spark": new_schema.jsonValue()}
+        if defaults:
+            entry["defaults"] = {k: v for k, v in defaults.items() if _json_safe(v)}
+        meta["schemas"].append(entry)
         meta["current_schema_id"] = sid
         meta["version"] += 1
         meta["summary"] = {"op": "evolve-schema", "schema_id": sid}
@@ -184,6 +194,8 @@ class SnapshotTable:
         current one (null-fill added columns, cast widened columns)."""
         cur_user = self.schema
         cur_phys = _physical_schema(cur_user)
+        cur_entry = next(s for s in self.meta["schemas"] if s["id"] == self.meta["current_schema_id"])
+        defaults = cur_entry.get("defaults", {})
         if not files:
             return spark.createDataFrame([], cur_phys)
         by_sid: dict[int, list[str]] = {}
@@ -193,7 +205,7 @@ class SnapshotTable:
         for sid, paths in by_sid.items():
             phys = _physical_schema(self._schema_by_id(sid))
             df = spark.read.schema(phys).parquet(*paths)
-            parts.append(_align(df, cur_phys))
+            parts.append(_align(df, cur_phys, defaults))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -565,14 +577,28 @@ def _commit_gt(a: str, b: str):
     )
 
 
-def _align(df: DataFrame, to_schema: T.StructType) -> DataFrame:
-    """Null-fill missing columns / cast widened columns to ``to_schema``."""
+def _json_safe(v: Any) -> bool:
+    try:
+        json.dumps(v)
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
+def _align(
+    df: DataFrame, to_schema: T.StructType, defaults: dict[str, Any] | None = None
+) -> DataFrame:
+    """Align a file's rows to ``to_schema``: cast widened columns; fill
+    columns the file predates with their registered default (C14) or null."""
     have = {f.name: f for f in df.schema.fields}
+    defaults = defaults or {}
     cols = []
     for f in to_schema.fields:
         if f.name in have:
             src = F.col(f.name)
             cols.append(src.cast(f.dataType).alias(f.name) if have[f.name].dataType != f.dataType else src)
+        elif f.name in defaults:
+            cols.append(F.lit(defaults[f.name]).cast(f.dataType).alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return df.select(*cols)

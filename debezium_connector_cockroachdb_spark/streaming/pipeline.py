@@ -127,8 +127,31 @@ def load_registry_specs(log_dir: str) -> tuple[int, list[ColumnSpec]]:
         raise FileNotFoundError(f"no schema registry under {log_dir}/_schema")
     with open(files[-1]) as f:
         doc = json.load(f)
-    specs = [ColumnSpec(c["name"], c["crdb_type"], nullable=c.get("nullable", True)) for c in doc["columns"]]
+    specs = [
+        ColumnSpec(
+            c["name"], c["crdb_type"], nullable=c.get("nullable", True),
+            default_sql=c.get("default"),
+        )
+        for c in doc["columns"]
+    ]
     return doc["version"], specs
+
+
+def registry_defaults(specs: list[ColumnSpec]) -> dict[str, Any]:
+    """C14: parsed default values for columns carrying one (function-call
+    defaults skipped — CockroachDBDefaultValueConverter.java:41-59)."""
+    from decimal import Decimal
+
+    from ..functions.defaults import parse_default_literal
+
+    out: dict[str, Any] = {}
+    for s in specs:
+        if s.default_sql is None:
+            continue
+        has, v = parse_default_literal(s.default_sql, s.crdb_type)
+        if has and v is not None:
+            out[s.name] = str(v) if isinstance(v, Decimal) else v
+    return out
 
 
 def user_schema(specs: list[ColumnSpec]) -> T.StructType:
@@ -216,7 +239,7 @@ class CDCPipeline:
         if ver != self.registry_version:
             self.specs = specs
             self.registry_version = ver
-            self.table.evolve_schema(user_schema(specs))
+            self.table.evolve_schema(user_schema(specs), defaults=registry_defaults(specs))
 
     def _batch_agg(self, parsed: DataFrame, with_keys: bool = True):
         """ONE pass over the batch: counts, offset lineage, resolved
@@ -427,7 +450,7 @@ class CDCPipeline:
             return False
         self.specs = specs
         self.registry_version = ver
-        self.table.evolve_schema(new_schema)
+        self.table.evolve_schema(new_schema, defaults=registry_defaults(specs))
         return True
 
     # ------------- streaming driver (W2, W3) -------------

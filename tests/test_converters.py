@@ -140,3 +140,33 @@ def test_bytes_invalid_base64_nulls(spark):
     row = df.collect()[0]
     assert row["bad"] is None
     assert row["good"] == b"\x01"
+
+
+def test_binary_handling_modes(spark):
+    """binary.handling.mode (…Provider.java:309-340): bytes | base64 | hex
+    output shaping of decoded bytea values."""
+    from pyspark.sql import types as T
+
+    from debezium_connector_cockroachdb_spark.functions.converters import (
+        post_convert,
+        spark_output_type,
+    )
+
+    lit = F.lit("\\x01ff")
+    by = ColumnSpec("b", "BYTEA", binary_mode="bytes")
+    b64 = ColumnSpec("b", "BYTEA", binary_mode="base64")
+    hx = ColumnSpec("b", "BYTEA", binary_mode="hex")
+    row = spark.range(1).select(
+        post_convert(by, lit).alias("bytes"),
+        post_convert(b64, lit).alias("b64"),
+        post_convert(hx, lit).alias("hex"),
+    ).collect()[0]
+    assert bytes(row["bytes"]) == b"\x01\xff"
+    assert row["b64"] == "Af8="
+    assert row["hex"] == "01ff"
+    assert isinstance(spark_output_type(by), T.BinaryType)
+    assert isinstance(spark_output_type(b64), T.StringType)
+    assert isinstance(spark_output_type(hx), T.StringType)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="binary.handling.mode"):
+        spark.range(1).select(post_convert(ColumnSpec("b", "BYTEA", binary_mode="raw"), lit))

@@ -304,3 +304,48 @@ def test_exact_drift_detects_dropped_column(spark, tmp_path):
     pipe.process_batch(dropped, batch_id=20001)
     names = [f.name for f in pipe.table.schema.fields]
     assert "source" not in names and "doc_id" in names
+
+
+def test_default_value_applied_on_evolution(spark, tmp_path):
+    """C14 wired into evolution: after a registry DDL adds a column with a
+    parseable default, rows written BEFORE the DDL read back the default
+    (CockroachDBDefaultValueConverter.java:41-59 +
+    CockroachDBSchemaEvolutionIT.java:115-249); a function default
+    (now()) stays null — the DB computes those."""
+    import json as _json
+
+    gcfg, icfg, log_dir, seed = build_env(spark, tmp_path)
+    pipe = CDCPipeline(spark, icfg)
+    pipe.run_to_completion(seed_df=seed)
+    n_before = pipe.read_state().count()
+    assert n_before > 0
+
+    with open(os.path.join(log_dir, "_schema", "v2.json"), "w") as f:
+        _json.dump({"version": 2, "columns": [
+            {"name": "doc_id", "crdb_type": "STRING", "nullable": False},
+            {"name": "tokens", "crdb_type": "INT4[]", "nullable": False},
+            {"name": "n_tok", "crdb_type": "INT4", "nullable": False},
+            {"name": "source", "crdb_type": "STRING", "nullable": False},
+            {"name": "status", "crdb_type": "STRING", "nullable": True,
+             "default": "'PENDING':::STRING"},
+            {"name": "score", "crdb_type": "INT8", "nullable": True,
+             "default": "42:::INT8"},
+            {"name": "created", "crdb_type": "TIMESTAMPTZ", "nullable": True,
+             "default": "now():::TIMESTAMPTZ"},
+        ]}, f)
+    from pyspark.sql import Row
+    post = spark.createDataFrame(
+        [Row(topic="t", partition=0, offset=10**9, ts_ms=0, key='["zz"]',
+             value='{"after":{"doc_id":"zz","tokens":[1],"n_tok":1,"source":"cc",'
+                   '"status":"LIVE","score":7},"op":"c","ts_ns":99999999999999}')],
+        "topic string, partition int, offset long, ts_ms long, key string, value string",
+    )
+    pipe.process_batch(post, batch_id=30000)
+
+    state = {r["doc_id"]: r for r in pipe.read_state().collect()}
+    assert state["zz"]["status"] == "LIVE" and state["zz"]["score"] == 7
+    old = [r for k, r in state.items() if k != "zz"]
+    assert len(old) == n_before
+    assert all(r["status"] == "PENDING" for r in old)   # literal default
+    assert all(r["score"] == 42 for r in old)
+    assert all(r["created"] is None for r in old)       # function default -> null
