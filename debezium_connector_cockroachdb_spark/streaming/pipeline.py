@@ -62,7 +62,7 @@ METRICS_SCHEMA = T.StructType(
     ]
 )
 
-SNAPSHOT_MODES = {"initial", "always", "never", "no_data", "initial_only", "when_needed"}
+SNAPSHOT_MODES = {"initial", "always", "never", "no_data", "initial_only", "when_needed", "custom"}
 
 
 @dataclass
@@ -109,10 +109,21 @@ class IngestConfig:
     # "kafka.ssl.*": ...} — the X6 security passthrough)
     source_format: str = "parquet"
     source_options: dict[str, str] = field(default_factory=dict)
+    # snapshot.mode="custom": pluggable snapshotter producing the initial-
+    # scan DataFrame (CockroachDBConnectorConfig.java:600-603 analogue);
+    # called as fn(spark, cfg) -> DataFrame | None
+    custom_snapshotter: Any = None
+    # heartbeat.interval.ms (…StreamingChangeEventSource.java:556-559): in
+    # continuous-trigger mode, idle triggers older than this emit a
+    # heartbeat lineage row so frontier/offset progress stays observable
+    # without data. None disables.
+    heartbeat_interval_ms: int | None = None
 
     def __post_init__(self) -> None:
         if self.snapshot_mode not in SNAPSHOT_MODES:
             raise ValueError(f"unknown snapshot.mode {self.snapshot_mode!r}")
+        if self.snapshot_mode == "custom" and self.custom_snapshotter is None:
+            raise ValueError("snapshot.mode='custom' requires custom_snapshotter")
         if self.merge_mode not in ("cow", "mor"):
             raise ValueError(f"unknown merge_mode {self.merge_mode!r}")
         if self.drift_mode not in ("poll", "exact"):
@@ -209,8 +220,12 @@ class CDCPipeline:
         already = "snapshot" in self.table.meta["applied"]
         if mode in ("never", "no_data"):
             return None
-        if mode in ("initial", "when_needed", "initial_only") and already:
+        if mode in ("initial", "when_needed", "initial_only", "custom") and already:
             return None
+        if mode == "custom":
+            # pluggable snapshotter decides WHAT the initial scan reads
+            # (filtered subset, alternate source, nothing at all)
+            seed_df = self.cfg.custom_snapshotter(self.spark, self.cfg)
         if seed_df is None:
             return None
         key = "snapshot" if mode != "always" else f"snapshot:{self.table.meta['version']}"
@@ -495,12 +510,34 @@ class CDCPipeline:
             reader = reader.option(k, v)
         return reader.parquet(self.cfg.log_dir)
 
+    def _heartbeat(self) -> None:
+        """W3 continuous-mode heartbeat: an idle trigger past the
+        configured interval writes a lineage row carrying the current
+        frontier — offset/frontier progress stays observable with zero
+        data, the analogue of dispatching a heartbeat on idle polls
+        (…StreamingChangeEventSource.java:556-559)."""
+        iv = self.cfg.heartbeat_interval_ms
+        now = time.time()
+        if iv is None or (now - getattr(self, "_last_heartbeat", 0.0)) * 1e3 < iv:
+            return
+        self._last_heartbeat = now
+        frontier = self.table.meta.get("frontier", {}).get("hlc")
+        self._write_metrics(-2, "heartbeat", {"frontier_hlc": frontier, "skipped": False},
+                            extra={"wall_ms": 0.0})
+
+    def detach_heartbeat_listener(self) -> None:
+        lst = getattr(self, "_hb_listener", None)
+        if lst is not None:
+            self.spark.streams.removeListener(lst)
+            self._hb_listener = None
+
     def start_stream(self, available_now: bool = True, trigger_seconds: float | None = None):
         if not self.cfg.checkpoint_dir:
             raise ValueError("checkpoint_dir required for streaming")
         stream = self._open_source()
 
         def apply(df: DataFrame, batch_id: int) -> None:
+            self._last_heartbeat = time.time()  # data progress resets the idle clock
             self.process_batch(df, batch_id)
 
         writer = stream.writeStream.foreachBatch(apply).option(
@@ -510,6 +547,27 @@ class CDCPipeline:
             writer = writer.trigger(availableNow=True)
         elif trigger_seconds:
             writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+            if self.cfg.heartbeat_interval_ms is not None:
+                from pyspark.sql.streaming import StreamingQueryListener
+
+                pipe = self
+
+                class _Heartbeat(StreamingQueryListener):
+                    def onQueryStarted(self, event):  # noqa: N802
+                        pass
+
+                    def onQueryProgress(self, event):  # noqa: N802
+                        pass
+
+                    def onQueryIdle(self, event):  # noqa: N802
+                        pipe._heartbeat()
+
+                    def onQueryTerminated(self, event):  # noqa: N802
+                        pass
+
+                self._last_heartbeat = time.time()
+                self._hb_listener = _Heartbeat()
+                self.spark.streams.addListener(self._hb_listener)
         return writer.start()
 
     def run_to_completion(self, seed_df: DataFrame | None = None) -> None:

@@ -20,7 +20,8 @@ def mk(**kw):
 
 def test_all_snapshot_modes_accepted():
     for m in SNAPSHOT_MODES:
-        assert mk(snapshot_mode=m).snapshot_mode == m
+        kw = {"custom_snapshotter": lambda sp, cfg: None} if m == "custom" else {}
+        assert mk(snapshot_mode=m, **kw).snapshot_mode == m
 
 
 def test_invalid_snapshot_mode_rejected():
@@ -101,3 +102,65 @@ def test_resume_rejects_merge_mode_mismatch(spark, tmp_path):
 def test_resume_accepts_identical_config(spark, tmp_path):
     base = _mk_table(spark, tmp_path)
     CDCPipeline(spark, mk(**base))  # no raise
+
+
+def test_custom_snapshot_mode_requires_snapshotter():
+    with pytest.raises(ValueError, match="custom_snapshotter"):
+        mk(snapshot_mode="custom")
+
+
+def test_custom_snapshotter_drives_initial_scan(spark, tmp_path):
+    """snapshot.mode=custom (CockroachDBConnectorConfig.java:600-603): the
+    pluggable snapshotter decides what the initial scan reads — here a
+    filtered subset — and runs exactly once."""
+    from debezium_connector_cockroachdb_spark.sources.generator import (
+        GeneratorConfig,
+        seed_table,
+        write_log,
+    )
+
+    log = str(tmp_path / "log")
+    gcfg = GeneratorConfig(num_keys=10, num_events=20, n_files=1)
+    write_log(spark, gcfg, log)
+
+    def snapshotter(sp, cfg):
+        from pyspark.sql import functions as F
+        return seed_table(sp, gcfg).filter(F.col("doc_id") <= "doc-00000002")
+
+    icfg = mk(log_dir=log, table_path=str(tmp_path / "t"), num_buckets=4,
+              snapshot_mode="custom", custom_snapshotter=snapshotter)
+    pipe = CDCPipeline(spark, icfg)
+    pipe.run_snapshot(None)
+    assert pipe.read_state().count() == 3
+    assert pipe.run_snapshot(None) is None  # idempotent: runs once
+
+
+def test_heartbeat_rows_on_idle_continuous_trigger(spark, tmp_path):
+    """W3 heartbeat.interval.ms: a continuous-trigger stream with a fully
+    drained source emits heartbeat lineage rows carrying the frontier."""
+    import time as _t
+
+    from debezium_connector_cockroachdb_spark.sources.generator import GeneratorConfig, write_log
+
+    log = str(tmp_path / "log")
+    write_log(spark, GeneratorConfig(num_keys=5, num_events=40, n_files=1), log)
+    icfg = mk(log_dir=log, table_path=str(tmp_path / "t"), num_buckets=4,
+              metrics_path=str(tmp_path / "m"), checkpoint_dir=str(tmp_path / "c"),
+              heartbeat_interval_ms=200)
+    pipe = CDCPipeline(spark, icfg)
+    q = pipe.start_stream(available_now=False, trigger_seconds=0.3)
+    try:
+        deadline = _t.time() + 30
+        hb = 0
+        while _t.time() < deadline:
+            _t.sleep(1.0)
+            try:
+                hb = pipe.read_metrics().filter("phase = 'heartbeat'").count()
+            except Exception:
+                hb = 0
+            if hb >= 2:
+                break
+        assert hb >= 2, "expected heartbeat lineage rows on idle triggers"
+    finally:
+        q.stop()
+        pipe.detach_heartbeat_listener()
