@@ -136,13 +136,49 @@ def bench_cdc_apply(spark) -> tuple[float, dict]:
 OPERATOR_BENCH = [
     "cdc_last_writer_wins",
     "cdc_merge_apply",
+    "alltypes_roundtrip",
     "text_analysis",
     "dedup_exact",
     "minhash_signatures",
+    "minhash_lsh_pairs",
     "simhash",
     "ann_cosine_topk",
+    "ann_cosine_topk_lsh",
     "ngram_jaccard",
 ]
+
+
+def synth_scale_dir(spark, factor: int) -> str:
+    """Derived scale-up of the sf0.1 tables for the scale-trend run
+    (BENCH_SF_SYNTH=10 ≈ sf1): union `factor` id-shifted copies of
+    documents/embeddings/events — deterministic, no external data. Only
+    used for timing trends, never for correctness oracles."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(REPO, "_work", f"sf_synth_x{factor}")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for name, id_col, id_kind in (
+        ("documents", "doc_id", "long"),
+        ("embeddings", "vec_id", "long"),
+        ("events", "event_id", "long"),
+        ("customer", "c_custkey", "long"),
+        ("orders", "o_orderkey", "long"),
+        ("supplier", "s_suppkey", "long"),
+    ):
+        src = spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+        n = src.count()
+        parts = [
+            src.withColumn(id_col, (F.col(id_col) + F.lit(i * n)).cast(id_kind))
+            for i in range(factor)
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+    open(os.path.join(out, "_SUCCESS"), "w").close()
+    return out
 
 
 def main() -> None:
@@ -152,17 +188,26 @@ def main() -> None:
     qs = dq.queries()
     timings: dict[str, float] = {}
 
-    if os.environ.get("BENCH_WARMUP", "1") == "1":
-        # JIT/codegen/page-cache warmup — identical un-warmed runs vary
-        # >2x; the measured run reflects steady-state throughput
-        bench_cdc_apply(spark)
-    cdc_dt, cdc_stats = bench_cdc_apply(spark)
-    timings["cdc_full_apply"] = round(cdc_dt, 3)
+    cdc_stats = {}
+    if not os.environ.get("BENCH_SKIP_CDC"):
+        if os.environ.get("BENCH_WARMUP", "1") == "1":
+            # JIT/codegen/page-cache warmup — identical un-warmed runs vary
+            # >2x; the measured run reflects steady-state throughput
+            bench_cdc_apply(spark)
+        cdc_dt, cdc_stats = bench_cdc_apply(spark)
+        timings["cdc_full_apply"] = round(cdc_dt, 3)
+
+    # BENCH_SF_SYNTH=k: run the operator suite over a k-fold derived
+    # scale-up of SF_DIR instead (scale-trend evidence; k=10 ≈ sf1)
+    op_dir = SF_DIR
+    synth = int(os.environ.get("BENCH_SF_SYNTH", "0"))
+    if synth > 1:
+        op_dir = synth_scale_dir(spark, synth)
 
     for name in [] if os.environ.get("BENCH_SKIP_OPERATORS") else OPERATOR_BENCH:
         fn = qs[name]
         t0 = time.time()
-        n = fn(spark, SF_DIR).count()
+        n = fn(spark, op_dir).count()
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)

@@ -247,3 +247,94 @@ def test_evolve_rejects_pk_drop_and_type_change(spark, tmp_table_dir):
         T.StructField("doc_id", T.StringType(), True),
         T.StructField("v", T.LongType(), True),
     ]))
+
+
+def test_cow_merge_prunes_nonoverlapping_files(spark, tmp_table_dir):
+    """File-level pk-stats pruning: a target file whose pk [min,max] can't
+    intersect the update range is carried, not rewritten (the Iceberg
+    column-stats analogue — at 10^10 rows a point-y batch rewrites only
+    the overlapping files of a bucket)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("v", T.IntegerType(), True),
+    ])
+    t = SnapshotTable.create(tmp_table_dir, schema, "doc_id", num_buckets=1)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id string, v int, op string, commit_wall_ns long, commit_logical long, seq long"
+    )
+    t.merge(spark, mk([(f"k00{i}", i, "c", 100, 0, i) for i in range(10)]), "bA")
+    low_files = [fe["path"] for fe in t.meta["files"]]
+    assert all("pk_min" in fe for fe in t.meta["files"])
+
+    # disjoint key range: the low-range file must be pruned, not rewritten
+    s2 = t.merge(spark, mk([(f"k10{i}", 100 + i, "c", 200, 0, 100 + i) for i in range(10)]), "bB")
+    assert s2["pruned_files"] == len(low_files)
+    assert set(low_files) <= {fe["path"] for fe in t.meta["files"]}
+    assert t.read_state(spark).count() == 20
+
+    # overlapping update rewrites only the high-range file
+    s3 = t.merge(spark, mk([("k105", 999, "u", 300, 0, 999)]), "bC")
+    assert s3["pruned_files"] >= 1
+    assert set(low_files) <= {fe["path"] for fe in t.meta["files"]}
+    rows = {r["doc_id"]: r["v"] for r in t.read_state(spark).collect()}
+    assert rows["k105"] == 999 and rows["k003"] == 3 and len(rows) == 20
+
+
+def test_gc_orphans_removes_unreferenced(spark, tmp_table_dir):
+    """Orphan GC: data files superseded by later commits (and staging junk
+    from crashed writers) are removed; the current snapshot is untouched."""
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("v", T.IntegerType(), True),
+    ])
+    t = SnapshotTable.create(tmp_table_dir, schema, "doc_id", num_buckets=2)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id string, v int, op string, commit_wall_ns long, commit_logical long, seq long"
+    )
+    for b in range(3):  # successive rewrites leave superseded files behind
+        t.merge(spark, mk([(f"k{i}", b * 10 + i, "u" if b else "c", 100 + b, 0, b * 100 + i)
+                           for i in range(6)]), f"b{b}")
+    # simulate a crashed writer's staging leftovers
+    _os.makedirs(_os.path.join(tmp_table_dir, "staging", "dead_batch"), exist_ok=True)
+    before_state = sorted((r["doc_id"], r["v"]) for r in t.read_state(spark).collect())
+
+    all_files = []
+    for root, _d, fns in _os.walk(_os.path.join(tmp_table_dir, "data")):
+        all_files += fns  # incl. _SUCCESS/.crc markers — GC removes those too
+    referenced = len(t.meta["files"])
+    assert len(all_files) > referenced  # orphans exist
+
+    gone = t.gc_orphans(retain_versions=2)
+    assert gone["data_files"] == len(all_files) - referenced
+    assert gone["staging_dirs"] == 1
+    after_state = sorted((r["doc_id"], r["v"]) for r in t.read_state(spark).collect())
+    assert after_state == before_state
+    # re-load still works (current metadata retained)
+    assert SnapshotTable.load(tmp_table_dir).meta["version"] == t.meta["version"]
+
+
+def test_concurrent_commit_detected(spark, tmp_table_dir):
+    """Optimistic-concurrency guard: a second writer handle that never saw
+    the first writer's commit must fail loudly instead of clobbering it."""
+    import pytest
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("v", T.IntegerType(), True),
+    ])
+    t1 = SnapshotTable.create(tmp_table_dir, schema, "doc_id", num_buckets=2)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id string, v int, op string, commit_wall_ns long, commit_logical long, seq long"
+    )
+    t1.merge(spark, mk([("a", 1, "c", 100, 0, 1)]), "b1")
+    stale = SnapshotTable.load(tmp_table_dir)
+    t1.merge(spark, mk([("b", 2, "c", 101, 0, 2)]), "b2")  # advances _current
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        stale.merge(spark, mk([("c", 3, "c", 102, 0, 3)]), "b3")
