@@ -83,6 +83,42 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
+# GPT-2-style pre-tokenizer, restricted to the lookahead-free ASCII subset
+# expressible identically in Java regex (Spark) and RE2 (DuckDB): leading
+# contractions, optionally-space-prefixed letter/digit/punctuation runs,
+# then bare space runs. Alternation order matters and matches both engines'
+# leftmost-first semantics.
+BPE_PIECE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +"
+
+ROLLING_BASE = 131
+ROLLING_MOD = 2_147_483_647  # 2^31-1: (mod-1)*131+255 fits int64 exactly
+
+
+def bpe_piece_count(text: Column) -> Column:
+    """BPE-ish token count: number of pre-tokenizer pieces (the budget a
+    byte-pair tokenizer would start from; whitespace token_count is the
+    cheap lower bound)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PIECE_RE), F.lit(0))).cast("int")
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Polynomial (Rabin-Karp) rolling hash of the normalized text:
+    h = fold(h*B + codepoint) mod 2^31-1 — exact integer math, bit-equal
+    in any engine, and extendable to windowed substring fingerprints (the
+    rolling property; md5 `fingerprint` cannot roll)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    codes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm), F.lit(1))),
+        lambda i: F.ascii(norm.substr(i, F.lit(1))),
+    )
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLLING_BASE + c) % ROLLING_MOD,
+    )
+    return F.when(F.length(norm) == 0, F.lit(0).cast("long")).otherwise(h)
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass text-analysis projection over a documents table."""
     t = F.col(text_col)

@@ -476,6 +476,40 @@ FROM scored
 """
 
 
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish pre-tokenizer pieces) and the
+    Rabin-Karp rolling-hash document fingerprint — exact integer/regex
+    semantics shared with the SQL oracle."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        text.token_count(t).alias("n_ws_tokens"),
+        text.bpe_piece_count(t).alias("n_bpe_pieces"),
+        text.rolling_fingerprint(t).alias("rolling_fp"),
+    )
+
+
+def _token_stats_sql() -> str:
+    pat = text.BPE_PIECE_RE.replace("'", "''")
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {NORM_SQL} AS norm FROM documents
+)
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE length(regexp_split_to_array(trim(text), '\\s+')) END::INT AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_bpe_pieces,
+       CASE WHEN length(norm) = 0 THEN CAST(0 AS BIGINT)
+            ELSE list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                                [CAST(ascii(x) AS BIGINT) for x in regexp_split_to_array(norm, '')]),
+                   (acc, c) -> (acc * {text.ROLLING_BASE} + c) % {text.ROLLING_MOD})
+       END AS rolling_fp
+FROM base
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data pipeline: text analysis → quality/language
     gates → exact dedup (keep min doc_id per fingerprint) — the one-pass
@@ -920,6 +954,7 @@ def queries() -> dict[str, QueryFn]:
         "alltypes_roundtrip": q_alltypes_roundtrip,
         "schema_defaults": q_schema_defaults,
         "text_analysis": q_text_analysis,
+        "token_stats": q_token_stats,
         "dedup_exact": q_dedup_exact,
         "corpus_curation": q_corpus_curation,
         "ngram_jaccard": q_ngram_jaccard,
@@ -950,6 +985,7 @@ def oracle_sql() -> dict[str, str]:
         "alltypes_roundtrip": SQL_ALLTYPES,
         "schema_defaults": SQL_SCHEMA_DEFAULTS,
         "text_analysis": SQL_TEXT_ANALYSIS,
+        "token_stats": _token_stats_sql(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "corpus_curation": _corpus_curation_sql(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,
