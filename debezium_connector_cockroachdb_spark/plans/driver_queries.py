@@ -544,6 +544,79 @@ def _corpus_curation_sql() -> str:
     return SQL_CORPUS_CURATION_TMPL.replace("{{TEXT_ANALYSIS}}", SQL_TEXT_ANALYSIS)
 
 
+_STREAM_DEDUP_BASE = os.path.join(_WORK, "stream_dedup")
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch STREAMING dedup (applyInPandasWithState, checkpointed
+    GroupState): documents split into 3 deterministic micro-batches
+    (doc_id % 3, mtime-ordered); the first batch containing a content
+    fingerprint emits its min-doc_id copy, all later copies are suppressed
+    by state. First-batch-wins semantics is plain SQL, so even this
+    stateful streaming operator faces a value-exact oracle."""
+    import shutil
+    import time as _time
+
+    from ..streaming.stream_dedup import streaming_exact_dedup
+
+    shutil.rmtree(_STREAM_DEDUP_BASE, ignore_errors=True)
+    src = os.path.join(_STREAM_DEDUP_BASE, "src")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # batches 0/1: the corpus split by key parity; batch 2: a formatting-
+    # noise variant of EVERY document (upper-case + extra whitespace —
+    # identical fingerprint) arriving later. The stream must suppress all
+    # of batch 2 via cross-batch state for the row set to match the oracle.
+    batches = [
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                 F.concat(F.upper("text"), F.lit("  ")).alias("text")),
+    ]
+    for b, bdf in enumerate(batches):
+        bdf.coalesce(1).write.parquet(os.path.join(src, f"b{b}"))
+    t0 = int(_time.time()) - 3600  # force b0 < b1 < b2 admission order
+    for b in range(3):
+        bd = os.path.join(src, f"b{b}")
+        for fn in os.listdir(bd):
+            os.utime(os.path.join(bd, fn), (t0 + b, t0 + b))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(_STREAM_DEDUP_BASE, "out"))
+        .option("checkpointLocation", os.path.join(_STREAM_DEDUP_BASE, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(_STREAM_DEDUP_BASE, "out")).select(
+        "fp", "doc_id", "n_dropped_before_emit"
+    )
+
+
+SQL_STREAM_DEDUP = """
+WITH rows_in AS (
+  SELECT doc_id, text, doc_id % 2 AS b FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, upper(text) || '  ' AS text, 2 AS b FROM documents
+), base AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, b
+  FROM rows_in
+), firstb AS (
+  SELECT fp, min(b) AS b0 FROM base GROUP BY fp
+)
+SELECT base.fp, min(doc_id) AS doc_id,
+       count(*) - 1 AS n_dropped_before_emit
+FROM base JOIN firstb ON base.fp = firstb.fp AND base.b = firstb.b0
+GROUP BY base.fp
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return (
@@ -955,6 +1028,7 @@ def queries() -> dict[str, QueryFn]:
         "schema_defaults": q_schema_defaults,
         "text_analysis": q_text_analysis,
         "token_stats": q_token_stats,
+        "stream_dedup": q_stream_dedup,
         "dedup_exact": q_dedup_exact,
         "corpus_curation": q_corpus_curation,
         "ngram_jaccard": q_ngram_jaccard,
@@ -986,6 +1060,7 @@ def oracle_sql() -> dict[str, str]:
         "schema_defaults": SQL_SCHEMA_DEFAULTS,
         "text_analysis": SQL_TEXT_ANALYSIS,
         "token_stats": _token_stats_sql(),
+        "stream_dedup": SQL_STREAM_DEDUP,
         "dedup_exact": SQL_DEDUP_EXACT,
         "corpus_curation": _corpus_curation_sql(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,

@@ -1,0 +1,108 @@
+"""Cross-batch streaming deduplication of a document stream — the custom
+STATEFUL operator surface (applyInPandasWithState, Arrow-batched).
+
+Batch-mode dedup (operators/text_dedup.py) collapses duplicates within one
+dataset; a streaming ingest needs to suppress duplicates across
+micro-batches: the first document carrying a given content fingerprint is
+emitted, every later copy (same batch or any later batch) is dropped. The
+reference's analogue is the bounded LRU event-identity cache
+(CockroachDBStreamingChangeEventSource.java:85-104); here the key is the
+CONTENT fingerprint (whitespace/case-normalized md5, operators/text.py),
+the state store is Spark's checkpointed per-key GroupState, and the scale
+story is Spark's, not a driver-side cache: state is hash-partitioned by
+fingerprint across executors, so 10^10 seen-fingerprints shard instead of
+bounding (with an optional processing-time timeout to cap state size the
+way the reference's LRU caps memory).
+
+No per-row Python: the kernel receives Arrow batches per fingerprint
+group; the emitted row is a vectorized pandas slice.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.text import fingerprint
+
+STATE_SCHEMA = "n_seen long"
+
+
+def output_schema(id_type: T.DataType = T.StringType()) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("fp", T.StringType(), False),
+            T.StructField("doc_id", id_type, True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("n_dropped_before_emit", T.LongType(), False),
+        ]
+    )
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    state_timeout_ms: int | None = None,
+) -> DataFrame:
+    """First-occurrence filter over a streaming documents DataFrame.
+
+    Emits one row per novel content fingerprint (the min-``id_col`` copy of
+    its first micro-batch, deterministic under intra-batch duplication);
+    all later copies update the per-key duplicate counter in state and emit
+    nothing. ``state_timeout_ms`` optionally expires idle fingerprints
+    (processing-time timeout) so unbounded streams can trade re-admission
+    of very old duplicates for bounded state — exactly the reference LRU's
+    trade-off, made explicit."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    id_type = stream.schema[id_col].dataType
+    out_t = output_schema(id_type)
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def kernel(key: Any, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (fp,) = key
+        seen = state.exists
+        n_prior = state.get[0] if seen else 0
+        first: pd.DataFrame | None = None
+        n_new = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+            if not seen and first is None and len(pdf):
+                first = pdf.sort_values(id_col).head(1)
+        state.update((n_prior + n_new,))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        if first is not None:
+            yield pd.DataFrame(
+                {
+                    "fp": [fp],
+                    "doc_id": first[id_col].values,
+                    "text": first[text_col].values,
+                    "n_dropped_before_emit": [n_new - 1],
+                }
+            )
+
+    keyed = stream.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        fingerprint(F.col(text_col)).alias("fp"),
+    ).groupBy("fp")
+    return keyed.applyInPandasWithState(
+        kernel,
+        outputStructType=out_t,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

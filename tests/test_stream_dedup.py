@@ -1,0 +1,92 @@
+"""Cross-batch streaming dedup (applyInPandasWithState): the first copy of
+a content fingerprint is emitted once; later copies — in the SAME batch or
+any LATER batch — are suppressed by checkpointed per-key state."""
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from debezium_connector_cockroachdb_spark.streaming.stream_dedup import (
+    streaming_exact_dedup,
+)
+
+
+def _write_batch(spark, path, rows, n):
+    spark.createDataFrame(rows, "doc_id string, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, f"b{n}"))
+
+
+def test_streaming_dedup_suppresses_cross_batch_copies(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    # batch 0: d2/d1 identical content (formatting noise differs), d3 unique
+    _write_batch(spark, src, [
+        ("d2", "Hello   World"),
+        ("d1", "hello world"),
+        ("d3", "something else"),
+    ], 0)
+    # batch 1: d4 repeats batch-0 content; d5 is novel; d6 repeats d5
+    _write_batch(spark, src, [
+        ("d4", "HELLO WORLD"),
+        ("d5", "brand new doc"),
+        ("d6", "brand  new   doc"),
+    ], 1)
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    out = streaming_exact_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["fp"]: r for r in spark.sql("SELECT * FROM dedup_out").collect()}
+
+    got = {(r["doc_id"], r["n_dropped_before_emit"]) for r in rows.values()}
+    # d1 wins its group (min id within the first batch, 1 sibling dropped);
+    # d3 unique; d5 wins over d6; d4 (cross-batch copy) never appears
+    assert got == {("d1", 1), ("d3", 0), ("d5", 1)}
+
+
+def test_streaming_dedup_state_survives_restart(spark, tmp_path):
+    """The seen-fingerprint state is checkpointed: a NEW query instance on
+    the same checkpoint still suppresses previously-seen content."""
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    _write_batch(spark, src, [("a1", "alpha doc")], 0)
+
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.format("parquet")  # memory sink can't recover checkpoints
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+
+    assert drain() == {"a1"}
+
+    time.sleep(0.1)
+    _write_batch(spark, src, [("a2", "ALPHA   DOC"), ("a3", "fresh one")], 1)
+    # a2 duplicates pre-restart content -> suppressed by restored state
+    assert drain() == {"a1", "a3"}
