@@ -549,6 +549,22 @@ class SnapshotTable:
         self._write_version(meta)
         return {"compacted": len(buckets), "version": new_version}
 
+    def compact_fragmented(
+        self, spark: SparkSession, max_files_per_bucket: int = 4
+    ) -> dict[str, Any]:
+        """Maintenance policy: fold any bucket whose file count exceeds the
+        threshold (delta piles under MoR, pruned-carry + fresh files under
+        CoW) back into a single base file. Small files are the silent
+        10^10-row killer — every merge's bucket scan pays per-file open
+        cost; this keeps it O(1) per bucket."""
+        per_bucket: dict[int, int] = {}
+        for fe in self.meta["files"]:
+            per_bucket[fe["bucket"]] = per_bucket.get(fe["bucket"], 0) + 1
+        victims = sorted(b for b, n in per_bucket.items() if n > max_files_per_bucket)
+        if not victims:
+            return {"compacted": 0, "version": self.meta["version"]}
+        return self.compact(spark, victims)
+
     def gc_orphans(self, retain_versions: int = 2) -> dict[str, int]:
         """Remove data files not referenced by the current snapshot and
         metadata/staging left behind by superseded commits or crashed
