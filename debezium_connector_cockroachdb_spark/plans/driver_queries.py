@@ -617,6 +617,70 @@ GROUP BY base.fp
 """
 
 
+_STREAM_WINDOW_BASE = os.path.join(_WORK, "stream_windowed")
+
+
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window STREAMING aggregation (append mode)
+    over the events table replayed as 3 time-ordered micro-batches:
+    1-hour windows, 30-minute watermark. Append emission is deterministic
+    — a window row appears iff window_end <= max(event time) - delay
+    (the final no-data micro-batch advances the watermark over all data)
+    — so even the stateful windowed operator faces a value-exact oracle."""
+    import shutil
+    import time as _time
+
+    from ..streaming.windowed import windowed_event_counts
+
+    shutil.rmtree(_STREAM_WINDOW_BASE, ignore_errors=True)
+    src = os.path.join(_STREAM_WINDOW_BASE, "src")
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    b = ev.agg(F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")).first()
+    lo, hi = b["lo"], b["hi"]
+    t1 = lo + (hi - lo) // 3
+    t2 = lo + 2 * (hi - lo) // 3
+    parts = [
+        ev.filter(F.unix_micros("ts") < t1),
+        ev.filter((F.unix_micros("ts") >= t1) & (F.unix_micros("ts") < t2)),
+        ev.filter(F.unix_micros("ts") >= t2),
+    ]
+    t0 = int(_time.time()) - 3600
+    for i, p in enumerate(parts):
+        bd = os.path.join(src, f"b{i}")
+        p.coalesce(1).write.parquet(bd)
+        for fn in os.listdir(bd):
+            os.utime(os.path.join(bd, fn), (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    out = windowed_event_counts(stream, window="1 hour", watermark="30 minutes")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", os.path.join(_STREAM_WINDOW_BASE, "out"))
+        .option("checkpointLocation", os.path.join(_STREAM_WINDOW_BASE, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(_STREAM_WINDOW_BASE, "out"))
+
+
+SQL_STREAM_WINDOWED = """
+WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+m AS (SELECT max(us) AS mx FROM e)
+SELECT (us - us % 3600000000) AS window_start_us, event_type AS key,
+       count(*) AS n, round(sum(value), 3) AS sum_value
+FROM e, m
+WHERE (us - us % 3600000000) + 3600000000 <= mx - 1800000000
+GROUP BY 1, 2
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return (
@@ -1029,6 +1093,7 @@ def queries() -> dict[str, QueryFn]:
         "text_analysis": q_text_analysis,
         "token_stats": q_token_stats,
         "stream_dedup": q_stream_dedup,
+        "stream_windowed_counts": q_stream_windowed_counts,
         "dedup_exact": q_dedup_exact,
         "corpus_curation": q_corpus_curation,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1061,6 +1126,7 @@ def oracle_sql() -> dict[str, str]:
         "text_analysis": SQL_TEXT_ANALYSIS,
         "token_stats": _token_stats_sql(),
         "stream_dedup": SQL_STREAM_DEDUP,
+        "stream_windowed_counts": SQL_STREAM_WINDOWED,
         "dedup_exact": SQL_DEDUP_EXACT,
         "corpus_curation": _corpus_curation_sql(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,

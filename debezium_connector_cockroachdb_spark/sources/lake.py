@@ -101,10 +101,20 @@ class SnapshotTable:
         return t
 
     @classmethod
-    def load(cls, path: str) -> "SnapshotTable":
-        with open(os.path.join(path, "metadata", "_current")) as f:
-            v = int(f.read().strip())
-        with open(os.path.join(path, "metadata", f"v{v}.json")) as f:
+    def load(cls, path: str, version: int | None = None) -> "SnapshotTable":
+        """Load the current snapshot, or — time travel — any retained
+        ``version`` (every commit's manifest is immutable; reads pin it,
+        so historical state is exact as long as gc_orphans hasn't expired
+        the version)."""
+        if version is None:
+            with open(os.path.join(path, "metadata", "_current")) as f:
+                version = int(f.read().strip())
+        vfile = os.path.join(path, "metadata", f"v{version}.json")
+        if not os.path.exists(vfile):
+            raise FileNotFoundError(
+                f"version {version} not retained at {path} (expired by gc_orphans?)"
+            )
+        with open(vfile) as f:
             return cls(path, json.load(f))
 
     @classmethod
@@ -548,6 +558,57 @@ class SnapshotTable:
         meta["summary"] = {"op": "compact", "buckets": buckets, "committed_at": time.time()}
         self._write_version(meta)
         return {"compacted": len(buckets), "version": new_version}
+
+    def table_changes(
+        self, spark: SparkSession, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change-data-feed read (the inverse of the apply path: table
+        state back OUT as a change stream, Delta-CDF/Iceberg-changelog
+        analogue): row-level differences between two retained snapshot
+        versions, keyed by pk.
+
+        Output: the user columns (post-image; pre-image for deletes),
+        ``_change_type`` ∈ {insert, update_postimage, delete} and the
+        winning commit tuple. Distributed as one pk-keyed full-outer join
+        between the two pinned snapshots — no log scan, no state."""
+        old_t = SnapshotTable.load(self.path, from_version)
+        new_t = SnapshotTable.load(self.path, to_version) if to_version is not None else self
+        user_cols = [f.name for f in new_t.schema.fields]
+        pk = self.pk_col
+        o = _align(old_t.read_raw(spark), _physical_schema(new_t.schema)).select(
+            F.col(pk).alias("_o_pk"),
+            *[F.col(c).alias(f"_o_{c}") for c in user_cols if c != pk],
+            *[F.col(c).alias(f"_o_{c}") for c in META_COLS],
+        )
+        n = new_t.read_raw(spark)
+        j = n.join(o, n[pk] == o["_o_pk"], "full_outer")
+        same_commit = (
+            (F.col("_commit_wall_ns") == F.col("_o__commit_wall_ns"))
+            & (F.col("_commit_logical") == F.col("_o__commit_logical"))
+            & (F.col("_commit_seq") == F.col("_o__commit_seq"))
+        )
+        old_live = F.col("_o_pk").isNotNull() & ~F.col("_o__deleted")
+        new_live = F.col(pk).isNotNull() & ~F.col("_deleted")
+        change = (
+            F.when(~old_live & new_live, F.lit("insert"))
+            .when(old_live & ~new_live, F.lit("delete"))
+            .when(old_live & new_live & ~same_commit, F.lit("update_postimage"))
+        )
+        out_cols = [F.coalesce(F.col(pk), F.col("_o_pk")).alias(pk)] + [
+            # delete rows carry the pre-image (the post-image is a tombstone)
+            F.when(F.col("_deleted").isNotNull() & F.col("_deleted"), F.col(f"_o_{c}"))
+            .otherwise(F.col(c)).alias(c)
+            for c in user_cols if c != pk
+        ]
+        return (
+            j.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(
+                *out_cols,
+                "_change_type",
+                *[F.col(c) for c in META_COLS if c != "_deleted"],
+            )
+        )
 
     def compact_fragmented(
         self, spark: SparkSession, max_files_per_bucket: int = 4

@@ -367,3 +367,49 @@ def test_compact_fragmented_policy(spark, tmp_table_dir):
     assert after == before
     # idempotent below the threshold
     assert t.compact_fragmented(spark, max_files_per_bucket=2)["compacted"] == 0
+
+
+def test_time_travel_reads_pinned_versions(spark, tmp_table_dir):
+    t = mk(tmp_table_dir)
+    t.merge(spark, upd(spark, [("a", [1], 1, "cc", "c", 100, 0, 1)]), "b1")
+    v1 = t.meta["version"]
+    t.merge(spark, upd(spark, [("a", [2], 1, "cc", "u", 200, 0, 2),
+                               ("b", [3], 1, "web", "c", 200, 0, 3)]), "b2")
+    past = SnapshotTable.load(tmp_table_dir, version=v1)
+    assert {r["doc_id"]: list(r["tokens"]) for r in past.read_state(spark).collect()} == {"a": [1]}
+    now = SnapshotTable.load(tmp_table_dir)
+    assert set(r["doc_id"] for r in now.read_state(spark).collect()) == {"a", "b"}
+    # a time-travel handle is read-only in practice: the OCC guard refuses its writes
+    import pytest
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        past.merge(spark, upd(spark, [("z", [9], 1, "cc", "c", 900, 0, 9)]), "bz")
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        SnapshotTable.load(tmp_table_dir, version=9999)
+
+
+def test_table_changes_cdf(spark, tmp_table_dir):
+    """CDF read: row-level diffs between two snapshot versions — insert /
+    update_postimage / delete (with pre-image), no-ops excluded."""
+    t = mk(tmp_table_dir)
+    t.merge(spark, upd(spark, [
+        ("a", [1], 1, "cc", "c", 100, 0, 1),
+        ("b", [2], 1, "web", "c", 100, 0, 2),
+        ("keep", [5], 1, "cc", "c", 100, 0, 3),
+    ]), "b1")
+    v1 = t.meta["version"]
+    t.merge(spark, upd(spark, [
+        ("a", [9, 9], 2, "cc", "u", 200, 0, 4),
+        ("b", None, None, None, "d", 200, 0, 5),
+        ("c", [7], 1, "books", "c", 200, 0, 6),
+    ]), "b2")
+
+    ch = {r["doc_id"]: r for r in t.table_changes(spark, v1).collect()}
+    assert {k: v["_change_type"] for k, v in ch.items()} == {
+        "a": "update_postimage", "b": "delete", "c": "insert",
+    }
+    assert list(ch["a"]["tokens"]) == [9, 9]
+    assert list(ch["b"]["tokens"]) == [2]  # delete carries the pre-image
+    assert "keep" not in ch  # unchanged rows excluded
+    # from the empty table every live row is an insert
+    ch0 = {r["doc_id"]: r["_change_type"] for r in t.table_changes(spark, 0).collect()}
+    assert ch0 == {"a": "insert", "c": "insert", "keep": "insert"}  # b: never live vs v0
