@@ -178,6 +178,73 @@ WHERE l.last_event_type IS NULL OR l.last_event_type <> 'error'
 """
 
 
+_CDF_TABLE = os.path.join(_WORK, "cdf_table")
+
+
+def q_table_changes_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF read behind the hard gate: customer base merged as v1, the
+    events LWW batch applied as v2, then ``table_changes(v1)`` must emit
+    exactly the row-level diffs — update_postimage for surviving events,
+    delete (with pre-image) where the last event is an error."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from ..sources.lake import SnapshotTable
+
+    shutil.rmtree(_CDF_TABLE, ignore_errors=True)
+    schema = T.StructType([
+        T.StructField("ck", T.LongType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("balance", T.DoubleType(), True),
+    ])
+    table = SnapshotTable.create(_CDF_TABLE, schema, "ck", num_buckets=8)
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), F.col("c_name").alias("name"),
+        F.round(F.col("c_acctbal").cast("double"), 2).alias("balance"),
+        F.lit("c").alias("op"), F.lit(1).cast("long").alias("commit_wall_ns"),
+        F.lit(0).cast("long").alias("commit_logical"), F.col("c_custkey").alias("seq"),
+    )
+    table.merge(spark, base, "b1")
+    v1 = table.meta["version"]
+    lww = q_cdc_last_writer_wins(spark, sf_dir)
+    upd = lww.select(
+        (F.col("user_id") + 1).alias("ck"),
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("name"),
+        F.round(F.col("last_value"), 2).alias("balance"),
+        F.when(F.col("last_event_type") == "error", F.lit("d")).otherwise(F.lit("u")).alias("op"),
+        F.lit(2).cast("long").alias("commit_wall_ns"),
+        F.lit(0).cast("long").alias("commit_logical"),
+        (F.col("user_id") + 1).alias("seq"),
+    )
+    table.merge(spark, upd, "b2")
+    return table.table_changes(spark, v1).select(
+        "ck", "name", "balance", F.col("_change_type").alias("change_type")
+    )
+
+
+SQL_TABLE_CHANGES = """
+WITH lww AS (
+  SELECT user_id + 1 AS ck, user_id, event_type, value FROM (
+    SELECT user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+), cust AS (
+  SELECT c_custkey AS ck, c_name AS name, round(CAST(c_acctbal AS DOUBLE), 2) AS balance
+  FROM customer
+)
+SELECT l.ck,
+       CASE WHEN l.event_type = 'error' THEN c.name
+            ELSE 'user-' || CAST(l.user_id AS VARCHAR) END AS name,
+       CASE WHEN l.event_type = 'error' THEN c.balance
+            ELSE round(l.value, 2) END AS balance,
+       CASE WHEN l.event_type = 'error' THEN 'delete'
+            ELSE 'update_postimage' END AS change_type
+FROM lww l JOIN cust c USING (ck)
+"""
+
+
 def q_hlc_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C15: HLC strings built from event timestamps, parsed back."""
     ev = _t(spark, sf_dir, "events")
@@ -1084,6 +1151,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_op_classify": q_cdc_op_classify,
         "cdc_resolved_frontier": q_cdc_resolved_frontier,
         "cdc_merge_apply": q_cdc_merge_apply,
+        "table_changes_cdf": q_table_changes_cdf,
         "hlc_parse_roundtrip": q_hlc_parse_roundtrip,
         "envelope_extract": q_envelope_extract,
         "bytea_roundtrip": q_bytea_roundtrip,
@@ -1117,6 +1185,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_op_classify": SQL_CDC_OP_CLASSIFY,
         "cdc_resolved_frontier": SQL_CDC_FRONTIER,
         "cdc_merge_apply": SQL_CDC_MERGE_APPLY,
+        "table_changes_cdf": SQL_TABLE_CHANGES,
         "hlc_parse_roundtrip": SQL_HLC_ROUNDTRIP,
         "envelope_extract": SQL_ENVELOPE_EXTRACT,
         "bytea_roundtrip": SQL_BYTEA_ROUNDTRIP,
