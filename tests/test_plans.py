@@ -125,3 +125,34 @@ def test_exact_topk_two_stage_equals_global_sort(spark):
         for r in scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3).collect()
     }
     assert got == want
+
+
+def test_mor_read_resolution_never_aggregates_payload(spark, tmp_path):
+    """The MoR read-time arg-max must aggregate only the 3-long ordering
+    tuple — a payload-wide max(struct) forces sort-based aggregation over
+    nested token arrays (the measured 64s-vs-4s trap). The winner set is
+    joined back hash-wise (never a payload sort)."""
+    from pyspark.sql import types as T
+
+    from debezium_connector_cockroachdb_spark.sources.lake import SnapshotTable
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+    ])
+    t = SnapshotTable.create(
+        str(tmp_path / "t"), schema, "doc_id", num_buckets=2,
+        properties={"write.merge.mode": "mor"},
+    )
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, op string, "
+              "commit_wall_ns long, commit_logical long, seq long"
+    )
+    t.merge(spark, mk([(f"k{i}", [i], "c", 100, 0, i) for i in range(20)]), "b1")
+    t.merge(spark, mk([(f"k{i}", [i * 10], "u", 200, 0, 100 + i) for i in range(10)]), "b2")
+    plan = plan_of(t.read_raw(spark))
+    # every aggregate node's function list must not touch the payload
+    for line in plan.splitlines():
+        if "Functions" in line:
+            assert "tokens" not in line, f"payload-wide aggregate: {line}"
+    assert "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
