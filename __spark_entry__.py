@@ -81,6 +81,17 @@ def _run_cdc_replay(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
     write_log(spark, cfg, log_dir)
     # stage the seed so the oracle reads the identical snapshot input
     seed_table(spark, cfg).write.mode("overwrite").parquet(seed_dir)
+    # freshness marker: the oracle asserts the staged data was generated
+    # from the SAME sf dir it is being compared against (the log scales off
+    # the documents count) — a stale staging dir fails loudly instead of
+    # silently comparing the wrong input
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(
+        _pa.table({"sf_dir": [sf_dir], "n_docs": [n_docs]}),
+        os.path.join(base, "marker.parquet"),
+    )
     icfg = IngestConfig(
         log_dir=log_dir,
         table_path=os.path.join(base, "table"),
@@ -101,7 +112,20 @@ def _run_cdc_replay(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
 # removes the row (including its seed image); seed rows survive only for
 # keys with no stream events at all.
 _REPLAY_ORACLE_SQL = """
-WITH log AS (SELECT * FROM read_parquet('{base}/log/*.parquet')),
+WITH log AS (
+  -- staging freshness gate: the staged log/seed are a side effect of the
+  -- Spark query; if they were generated from a different sf dir (doc count
+  -- mismatch vs the registered documents view) the comparison is
+  -- meaningless — fail loudly instead. The CASE is load-bearing (WHERE),
+  -- so the optimizer cannot prune the error() branch.
+  SELECT * FROM read_parquet('{base}/log/*.parquet')
+  WHERE CASE WHEN (SELECT n_docs FROM read_parquet('{base}/marker.parquet'))
+             = (SELECT count(*) FROM documents)
+        THEN TRUE
+        ELSE error('stale replay staging at {base}: run the Spark '
+                   'cdc_full_replay query for this sf dir first')
+        END
+),
 seed AS (SELECT * FROM read_parquet('{base}/seed/*.parquet')),
 data AS (
   SELECT "offset" AS seq,

@@ -737,13 +737,16 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(_STREAM_WINDOW_BASE, "out"))
 
 
+# strict < mirrors Spark's append-mode eviction (window.end < watermark,
+# i.e. `attribute <= watermark - 1ms`): a window whose end lands EXACTLY on
+# max_ts - delay is retained by Spark, so the oracle must not emit it
 SQL_STREAM_WINDOWED = """
 WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
 m AS (SELECT max(us) AS mx FROM e)
 SELECT (us - us % 3600000000) AS window_start_us, event_type AS key,
        count(*) AS n, round(sum(value), 3) AS sum_value
 FROM e, m
-WHERE (us - us % 3600000000) + 3600000000 <= mx - 1800000000
+WHERE (us - us % 3600000000) + 3600000000 < mx - 1800000000
 GROUP BY 1, 2
 """
 
@@ -1017,6 +1020,12 @@ def q_ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=pa.schema([("cell", pa.int32()), ("centroid", pa.list_(pa.float64()))]),
     )
     pq.write_table(tbl, os.path.join(_IVF_CENTROIDS, "cents.parquet"))
+    # freshness marker (same contract as the replay staging): the oracle
+    # verifies the centroids were derived from THIS sf dir's embeddings
+    pq.write_table(
+        pa.table({"n_vecs": [emb.count()]}),
+        os.path.join(_IVF_CENTROIDS, "marker.parquet"),
+    )
     return similarity.cosine_topk_ivf(
         emb, queries, k=3, n_centroids=8, n_probe=2, assigned=assigned, cents=cents
     )
@@ -1029,7 +1038,18 @@ def _ivf_sql() -> str:
     d_ec = _SQDIST.format(a="e.embedding", b="c.centroid")
     dot = _DOT
     return f"""
-WITH cent AS (SELECT * FROM read_parquet('{_IVF_CENTROIDS}/*.parquet')),
+WITH cent AS (
+  -- freshness gate: load-bearing WHERE so the optimizer cannot prune the
+  -- error() branch; fires when the staged centroids were derived from a
+  -- different sf dir's embeddings than the one being compared against
+  SELECT * FROM read_parquet('{_IVF_CENTROIDS}/cents.parquet')
+  WHERE CASE WHEN (SELECT n_vecs FROM read_parquet('{_IVF_CENTROIDS}/marker.parquet'))
+             = (SELECT count(*) FROM embeddings)
+        THEN TRUE
+        ELSE error('stale IVF centroid staging: run the Spark '
+                   'ann_cosine_topk_ivf query for this sf dir first')
+        END
+),
 assigned AS (
   SELECT vec_id, embedding, cell FROM (
     SELECT e.vec_id, e.embedding, c.cell,

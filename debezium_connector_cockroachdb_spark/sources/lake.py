@@ -669,6 +669,29 @@ class SnapshotTable:
                 if v < keep_from:
                     os.remove(os.path.join(mdir, fn))
                     removed_meta += 1
+        # time-travel contract: a retained metadata version must be
+        # READABLE — data files are expired against the current snapshot
+        # only, so an older retained manifest may now reference removed
+        # files. Drop such manifests so load(version=) fails fast with the
+        # intended "not retained" error instead of succeeding and then
+        # blowing up mid-scan on missing parquet (lake.load contract).
+        for fn in os.listdir(mdir):
+            if not (fn.startswith("v") and fn.endswith(".json")):
+                continue
+            try:
+                v = int(fn[1:-5])
+            except ValueError:
+                continue
+            if v == self.meta["version"]:
+                continue
+            with open(os.path.join(mdir, fn)) as f:
+                old = json.load(f)
+            if any(
+                not os.path.exists(os.path.join(self.path, fe["path"]))
+                for fe in old["files"]
+            ):
+                os.remove(os.path.join(mdir, fn))
+                removed_meta += 1
         return {"data_files": removed_data, "metadata_files": removed_meta,
                 "staging_dirs": removed_staging}
 

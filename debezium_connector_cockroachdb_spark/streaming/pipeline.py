@@ -543,6 +543,7 @@ class CDCPipeline:
         writer = stream.writeStream.foreachBatch(apply).option(
             "checkpointLocation", self.cfg.checkpoint_dir
         )
+        hb_listener = None
         if available_now:
             writer = writer.trigger(availableNow=True)
         elif trigger_seconds:
@@ -553,6 +554,15 @@ class CDCPipeline:
                 pipe = self
 
                 class _Heartbeat(StreamingQueryListener):
+                    """Session-global listener scoped to ONE query: idle
+                    events are filtered on the started query's id (other
+                    streaming queries in the session must not trigger this
+                    pipeline's heartbeat), and the listener detaches itself
+                    when that query terminates (repeated start_stream calls
+                    must not stack leaked listeners)."""
+
+                    query_id: str | None = None
+
                     def onQueryStarted(self, event):  # noqa: N802
                         pass
 
@@ -560,15 +570,23 @@ class CDCPipeline:
                         pass
 
                     def onQueryIdle(self, event):  # noqa: N802
-                        pipe._heartbeat()
+                        if self.query_id is not None and str(event.id) == self.query_id:
+                            pipe._heartbeat()
 
                     def onQueryTerminated(self, event):  # noqa: N802
-                        pass
+                        if self.query_id is not None and str(event.id) == self.query_id:
+                            pipe.spark.streams.removeListener(self)
+                            if getattr(pipe, "_hb_listener", None) is self:
+                                pipe._hb_listener = None
 
                 self._last_heartbeat = time.time()
-                self._hb_listener = _Heartbeat()
-                self.spark.streams.addListener(self._hb_listener)
-        return writer.start()
+                hb_listener = _Heartbeat()
+                self._hb_listener = hb_listener
+                self.spark.streams.addListener(hb_listener)
+        q = writer.start()
+        if hb_listener is not None:
+            hb_listener.query_id = str(q.id)
+        return q
 
     def run_to_completion(self, seed_df: DataFrame | None = None) -> None:
         """Snapshot phase then drain the log (the task-start wiring, X7)."""

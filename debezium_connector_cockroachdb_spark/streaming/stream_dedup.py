@@ -75,12 +75,17 @@ def streaming_exact_dedup(
         (fp,) = key
         seen = state.exists
         n_prior = state.get[0] if seen else 0
+        # a large group arrives as MULTIPLE Arrow chunks (bounded by
+        # spark.sql.execution.arrow.maxRecordsPerBatch) — the min-id winner
+        # must be tracked ACROSS chunks, not taken from the first one
         first: pd.DataFrame | None = None
         n_new = 0
         for pdf in pdfs:
             n_new += len(pdf)
-            if not seen and first is None and len(pdf):
-                first = pdf.sort_values(id_col).head(1)
+            if not seen and len(pdf):
+                cand = pdf.sort_values(id_col).head(1)
+                if first is None or cand[id_col].iloc[0] < first[id_col].iloc[0]:
+                    first = cand
         state.update((n_prior + n_new,))
         if state_timeout_ms is not None:
             state.setTimeoutDuration(state_timeout_ms)

@@ -413,3 +413,32 @@ def test_table_changes_cdf(spark, tmp_table_dir):
     # from the empty table every live row is an insert
     ch0 = {r["doc_id"]: r["_change_type"] for r in t.table_changes(spark, 0).collect()}
     assert ch0 == {"a": "insert", "c": "insert", "keep": "insert"}  # b: never live vs v0
+
+
+def test_gc_orphans_expires_unreadable_time_travel_versions(spark, tmp_table_dir):
+    """Time-travel contract after GC: a metadata version whose data files
+    were expired must be dropped too, so load(version=) fails fast with
+    the 'not retained' error instead of succeeding and then failing
+    mid-scan on missing parquet."""
+    import pytest
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("v", T.IntegerType(), True),
+    ])
+    t = SnapshotTable.create(tmp_table_dir, schema, "doc_id", num_buckets=2)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id string, v int, op string, commit_wall_ns long, commit_logical long, seq long"
+    )
+    # v1 then v2 rewrite the SAME keys → v1's files are orphans after v2
+    t.merge(spark, mk([(f"k{i}", i, "c", 100, 0, i) for i in range(4)]), "b1")
+    t.merge(spark, mk([(f"k{i}", 10 + i, "u", 200, 0, 100 + i) for i in range(4)]), "b2")
+
+    t.gc_orphans(retain_versions=3)  # retains v1/v2 manifests by count...
+    # ...but v1's data is gone, so its manifest must have been expired too
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        SnapshotTable.load(tmp_table_dir, version=1)
+    # the current version stays fully readable
+    cur = SnapshotTable.load(tmp_table_dir)
+    assert sorted(r["v"] for r in cur.read_state(spark).collect()) == [10, 11, 12, 13]

@@ -90,3 +90,43 @@ def test_streaming_dedup_state_survives_restart(spark, tmp_path):
     _write_batch(spark, src, [("a2", "ALPHA   DOC"), ("a3", "fresh one")], 1)
     # a2 duplicates pre-restart content -> suppressed by restored state
     assert drain() == {"a1", "a3"}
+
+
+def test_streaming_dedup_min_id_across_arrow_chunks(spark, tmp_path):
+    """A large group reaches the kernel as several Arrow chunks; the
+    emitted winner must be the min-id copy of the WHOLE first batch, not
+    of whichever chunk happens to arrive first."""
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    # 9 copies, descending ids, global min ("a00") last in data order —
+    # with 2-row Arrow chunks it cannot be in the first chunk
+    rows = [(f"z{i:02d}", "same   content") for i in range(9, 1, -1)]
+    rows.append(("a00", "same content"))
+    _write_batch(spark, src, rows, 0)
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = (
+            spark.readStream.schema("doc_id string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        out_dir = str(tmp_path / "out")
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    got = spark.read.parquet(out_dir).collect()
+    assert len(got) == 1
+    assert got[0]["doc_id"] == "a00"
+    assert got[0]["n_dropped_before_emit"] == 8
