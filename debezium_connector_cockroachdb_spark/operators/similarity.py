@@ -108,6 +108,18 @@ def _plane_sign(b: int, d: Column) -> Column:
     return F.when(((d * (b + 3) + b * b) % 7) < 3, F.lit(1.0)).otherwise(F.lit(-1.0))
 
 
+def auto_n_planes(n_vectors: int, target_bucket: int = 256, lo: int = 4, hi: int = 24) -> int:
+    """Plane count that keeps the EXPECTED bucket size near
+    ``target_bucket`` as the corpus grows: 2^planes buckets ≈ N/target →
+    planes = ⌈log2(N/target)⌉, clamped. A fixed plane count is the
+    measured scale trap (8 fixed buckets: 1.4s → 20.1s at a 10× corpus —
+    candidate pairs grow ~quadratically inside static buckets); scaling
+    planes with log(N) keeps within-bucket work per query ~constant."""
+    import math
+
+    return max(lo, min(hi, math.ceil(math.log2(max(n_vectors / max(target_bucket, 1), 2.0)))))
+
+
 def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
     """Sign-LSH bucket id in [0, 2^n_planes)."""
     dims = F.transform(vec, lambda v, i: F.struct(v.alias("v"), i.alias("i")))
@@ -131,13 +143,20 @@ def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 3,
-    n_planes: int = 6,
+    n_planes: int | None = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
-    Same output shape as cosine_topk (recall < 1 by design)."""
+    Same output shape as cosine_topk (recall < 1 by design).
+
+    ``n_planes=None`` auto-scales the bucket count with the corpus size
+    (``auto_n_planes``) so within-bucket candidate work stays ~constant as
+    the corpus grows — pass an explicit value only for reproducible
+    small-scale comparisons (the oracle-gated driver query does)."""
+    if n_planes is None:
+        n_planes = auto_n_planes(corpus.count())
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
@@ -190,23 +209,36 @@ def ivf_assign(
     cents = [(i, list(r["_v"])) for i, r in enumerate(seed_rows)]
 
     def assign(df: DataFrame, centroids) -> DataFrame:
-        # squared-L2 to each centroid, computed as JVM expressions
-        dists = [
-            F.aggregate(
-                F.zip_with(F.col("_v"), F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0), lambda acc, x: acc + x,
-            ).alias(f"_d{i}")
-            for i, c in centroids
-        ]
-        with_d = df.select("*", *dists)
-        best = F.lit(0)
-        best_d = F.col("_d0")
-        for i, _c in centroids[1:]:
-            cond = F.col(f"_d{i}") < best_d
-            best = F.when(cond, F.lit(i)).otherwise(best)
-            best_d = F.when(cond, F.col(f"_d{i}")).otherwise(best_d)
-        return with_d.select(df.columns + [best.alias("_cell")]).drop(
-            *[f"_d{i}" for i, _ in centroids]
+        # Cell assignment via broadcast-centroid join + two-phase argmin —
+        # the same shape as the probe path below, NOT k literal distance
+        # columns + a k-deep CASE chain (correct at k=8, but Catalyst
+        # codegen blows up at the k≈10^3-10^4 cells a 10^9-vector index
+        # needs; a broadcast table scales in DATA, not in plan size).
+        # Phase 1 reduces the k candidate rows per vector to the narrow
+        # (id, argmin cell) winner — min(struct(dist, cell)) is map-side
+        # combinable and every id's candidates are partition-local, so the
+        # shuffle carries ~1 narrow row per vector. Phase 2 hash-joins the
+        # cell back onto the payload (never sorts it). Ties break toward
+        # the lowest cell index, matching the SQL oracle's rank order.
+        spark = df.sparkSession
+        cent_df = spark.createDataFrame(
+            [(i, list(c)) for i, c in centroids], "_cell int, _centroid array<double>"
+        )
+        dist = F.aggregate(
+            F.zip_with(F.col("_v"), F.col("_centroid"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        best = (
+            df.select(F.col(id_col).alias("_aid"), "_v")
+            .crossJoin(F.broadcast(cent_df))
+            .select("_aid", F.struct(dist.alias("d"), F.col("_cell").alias("c")).alias("_dc"))
+            .groupBy("_aid")
+            .agg(F.min("_dc").alias("_b"))
+            .select("_aid", F.col("_b.c").alias("_cell"))
+        )
+        return (
+            df.join(best.hint("shuffle_hash"), df[id_col] == best["_aid"])
+            .select(*df.columns, "_cell")
         )
 
     for _it in range(n_iters):
@@ -289,14 +321,16 @@ def cosine_topk_ivf(
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 6,
+    n_planes: int | None = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Near-duplicate vector pairs (cos ≥ threshold), LSH-blocked: pairs
     are only compared within a bucket — at ≥0.95 cosine the sign vectors
     nearly always agree, so recall stays high while candidates drop from
-    N² to Σ bucket²."""
+    N² to Σ bucket². ``n_planes=None`` auto-scales with corpus size."""
+    if n_planes is None:
+        n_planes = auto_n_planes(df.count())
     v = df.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),

@@ -248,3 +248,40 @@ def test_ann_recall_on_real_embeddings(spark):
     assert recall(ivf4) >= recall(ivf2)      # more probes -> monotonically better
     assert recall(ivf4) >= 0.75, recall(ivf4)
     assert all(qid != nid for qid, nid in lsh1 | ivf2)  # never self-matches
+
+
+def test_ivf_assign_scales_in_data_not_plan(spark):
+    """Corpus cell assignment must be the broadcast-centroid join (plan
+    size independent of k), not k literal distance columns + a k-deep
+    CASE chain — run at n_centroids=64 on the sf0.1 embeddings and assert
+    the plan carries no per-centroid expression chain."""
+    import contextlib
+    import io
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    assigned, cents = similarity.ivf_assign(emb, n_centroids=64)
+    assert len(cents) == 64
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assigned.explain("formatted")
+    plan = buf.getvalue()
+    # a when-chain assign would embed >= k CASE WHEN branches
+    assert plan.count("CASE WHEN") < 10
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+    # total assignment: every vector lands in exactly one valid cell
+    n = emb.count()
+    stats = assigned.groupBy().agg(
+        F.count("*").alias("n"), F.min("_cell").alias("lo"), F.max("_cell").alias("hi")
+    ).first()
+    assert stats["n"] == n and 0 <= stats["lo"] and stats["hi"] <= 63
+
+
+def test_auto_n_planes_tracks_corpus_size(spark):
+    a = similarity.auto_n_planes
+    assert a(1_000) <= a(100_000) <= a(10_000_000) <= a(1_000_000_000)
+    assert a(10_000_000_000) <= 24       # clamped
+    assert a(10) >= 4                    # floor
+    # expected bucket occupancy stays near target across 3 decades
+    for n in (10**6, 10**8, 10**10):
+        planes = a(n, target_bucket=256)
+        assert 64 <= n / (2 ** planes) <= 1024, (n, planes)
