@@ -171,13 +171,25 @@ def minhash_lsh_pairs(
     n: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Candidate pairs via banded LSH over MinHash signatures, scored by
     signature agreement (estimated Jaccard = matching minhashes / k).
-    bands·rows = k; a pair is a candidate if ANY band matches fully."""
+    bands·rows = k; a pair is a candidate if ANY band matches fully.
+
+    ``scratch_dir``: when given, the signature table (consumed 3× —
+    bucket explode + both pair sides) is staged once as parquet and
+    re-read, mirroring the shingle staging above. Deliberately NOT
+    ``.persist()``: k longs × 10^10 docs pinned in executor memory is the
+    100 TB failure mode; parquet staging is bounded by disk and lets each
+    consumer prune to the columns it reads. When None the signature chain
+    recomputes per consumer (fine at test scale)."""
     assert k % bands == 0
     rows = k // bands
-    sig = minhash_signatures(df, k, n, text_col, id_col).persist()
+    sig = minhash_signatures(df, k, n, text_col, id_col)
+    if scratch_dir:
+        sig.write.mode("overwrite").parquet(scratch_dir)
+        sig = df.sparkSession.read.parquet(scratch_dir)
 
     band_cols = [
         F.struct(F.lit(b).alias("band"), *[F.col(f"mh{b * rows + r}").alias(f"v{r}") for r in range(rows)]).alias(f"b{b}")

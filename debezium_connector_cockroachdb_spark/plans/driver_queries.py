@@ -926,7 +926,8 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim FROM ranked WHE
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_dedup.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), k=MINHASH_K_ORACLE, bands=4, threshold=0.375
+        _t(spark, sf_dir, "documents"), k=MINHASH_K_ORACLE, bands=4, threshold=0.375,
+        scratch_dir=os.path.join(_WORK, "minhash_sig"),
     )
 
 

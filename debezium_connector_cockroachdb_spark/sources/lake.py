@@ -240,13 +240,17 @@ class SnapshotTable:
             out = out.unionByName(p)
         return out
 
-    def read_raw(self, spark: SparkSession) -> DataFrame:
+    def read_raw(self, spark: SparkSession, buckets: set[int] | None = None) -> DataFrame:
         """All current rows incl. tombstones + system columns. Under MoR,
         buckets carrying delta files are resolved at read time: per-key
         arg-max over (wall, logical, seq) across base+deltas — identical
         ordering to the CoW merge guard, so both modes yield the same
-        state. Delta-free buckets pass through without a shuffle."""
+        state. Delta-free buckets pass through without a shuffle.
+        ``buckets`` restricts the scan to those buckets (keys hash to
+        exactly one bucket, so per-bucket reads are self-contained)."""
         files = self.meta["files"]
+        if buckets is not None:
+            files = [fe for fe in files if fe["bucket"] in buckets]
         delta_buckets = {fe["bucket"] for fe in files if fe.get("kind") == "delta"}
         if not delta_buckets:
             return self._read_files(spark, files)
@@ -570,17 +574,35 @@ class SnapshotTable:
         Output: the user columns (post-image; pre-image for deletes),
         ``_change_type`` ∈ {insert, update_postimage, delete} and the
         winning commit tuple. Distributed as one pk-keyed full-outer join
-        between the two pinned snapshots — no log scan, no state."""
+        between the two pinned snapshots — no log scan, no state.
+
+        Manifest-level bucket pruning: a bucket whose (path, kind) file
+        set is identical in both manifests holds byte-identical rows with
+        identical commit tuples on both sides, so it cannot contribute a
+        diff — such buckets are skipped driver-side before any scan. At
+        10^10 rows a micro-batch touches ~1% of buckets; the CDF read then
+        scans ~2% of the table instead of 200%."""
         old_t = SnapshotTable.load(self.path, from_version)
         new_t = SnapshotTable.load(self.path, to_version) if to_version is not None else self
+
+        def _by_bucket(files: list[dict[str, Any]]) -> dict[int, set]:
+            d: dict[int, set] = {}
+            for fe in files:
+                d.setdefault(fe["bucket"], set()).add((fe["path"], fe.get("kind")))
+            return d
+
+        ob, nb = _by_bucket(old_t.meta["files"]), _by_bucket(new_t.meta["files"])
+        changed = {
+            b for b in set(ob) | set(nb) if ob.get(b) != nb.get(b)
+        }
         user_cols = [f.name for f in new_t.schema.fields]
         pk = self.pk_col
-        o = _align(old_t.read_raw(spark), _physical_schema(new_t.schema)).select(
+        o = _align(old_t.read_raw(spark, buckets=changed), _physical_schema(new_t.schema)).select(
             F.col(pk).alias("_o_pk"),
             *[F.col(c).alias(f"_o_{c}") for c in user_cols if c != pk],
             *[F.col(c).alias(f"_o_{c}") for c in META_COLS],
         )
-        n = new_t.read_raw(spark)
+        n = new_t.read_raw(spark, buckets=changed)
         j = n.join(o, n[pk] == o["_o_pk"], "full_outer")
         same_commit = (
             (F.col("_commit_wall_ns") == F.col("_o__commit_wall_ns"))

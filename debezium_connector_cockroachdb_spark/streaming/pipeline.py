@@ -130,6 +130,36 @@ class IngestConfig:
             raise ValueError(f"unknown drift_mode {self.drift_mode!r}")
 
 
+KAFKA_MAX_PARTITIONS = 4096          # 12 low bits of the composite seq
+KAFKA_MAX_OFFSET = 1 << 51           # offsets shift into the high 51 bits
+
+
+def kafka_composite_seq(offset: F.Column, partition: F.Column) -> F.Column:
+    """Globally-unique, order-preserving seq from a Kafka (partition,
+    offset) pair: offset into the high 51 bits, partition into the low 12
+    (the consumer-offset composite, CockroachDBOffsetContext.java:37-53).
+    Within a partition the composite is strictly monotone in offset, so
+    per-key commit-tuple ordering (which only ever compares events of one
+    key, produced to one partition) is preserved.
+
+    Inputs OUTSIDE the envelope (partition ≥ 4096 or offset ≥ 2^51) would
+    silently collide after truncation — that corrupts dedup identity, so
+    the fold fails the task loudly instead (JVM-side raise_error; no
+    silent wraparound)."""
+    p = partition.cast("long")
+    o = offset.cast("long")
+    ok = (p >= 0) & (p < KAFKA_MAX_PARTITIONS) & (o >= 0) & (o < KAFKA_MAX_OFFSET)
+    return F.when(ok, F.shiftleft(o, 12) + p).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("kafka (partition, offset) outside the composite-seq envelope "
+                      f"(partition < {KAFKA_MAX_PARTITIONS}, offset < 2^51): partition="),
+                p.cast("string"), F.lit(" offset="), o.cast("string"),
+            )
+        )
+    )
+
+
 def load_registry_specs(log_dir: str) -> tuple[int, list[ColumnSpec]]:
     """Latest schema descriptor from the log's ``_schema`` registry — the
     information_schema re-read analogue (CockroachDBSchema.java:62-89)."""
@@ -493,12 +523,10 @@ class CDCPipeline:
                 F.col("topic"),
                 F.col("partition"),
                 # Kafka offsets are only unique per partition; downstream
-                # ordering/dedup needs a globally-unique seq, so fold the
-                # partition into the low bits (≤4096 partitions, offsets to
-                # 2^51 — the (partition, offset) composite from the
-                # consumer-offset map, CockroachDBOffsetContext.java:37-53)
-                (F.shiftleft(F.col("offset"), 12)
-                 + F.pmod(F.col("partition").cast("long"), F.lit(4096))).alias("offset"),
+                # ordering/dedup needs a globally-unique seq — composite
+                # fold with loud out-of-envelope failure (no silent
+                # truncation), see kafka_composite_seq
+                kafka_composite_seq(F.col("offset"), F.col("partition")).alias("offset"),
                 F.unix_millis(F.col("timestamp")).alias("ts_ms"),
                 F.col("key").cast("string").alias("key"),
                 F.col("value").cast("string").alias("value"),

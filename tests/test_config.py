@@ -164,3 +164,38 @@ def test_heartbeat_rows_on_idle_continuous_trigger(spark, tmp_path):
     finally:
         q.stop()
         pipe.detach_heartbeat_listener()
+
+
+def test_kafka_composite_seq_envelope(spark):
+    """The (partition, offset) -> seq fold: documented envelope holds
+    exactly (unique, order-preserving), and inputs outside it fail LOUDLY
+    instead of silently truncating into colliding seqs."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from debezium_connector_cockroachdb_spark.streaming.pipeline import (
+        KAFKA_MAX_OFFSET,
+        KAFKA_MAX_PARTITIONS,
+        kafka_composite_seq,
+    )
+
+    rows = [(0, 0), (0, 1), (1, 0), (4095, 0), (7, KAFKA_MAX_OFFSET - 1)]
+    df = spark.createDataFrame(rows, "partition int, offset long")
+    got = [
+        r["seq"]
+        for r in df.select(
+            kafka_composite_seq(F.col("offset"), F.col("partition")).alias("seq")
+        ).collect()
+    ]
+    assert len(set(got)) == len(rows)  # unique across partitions
+    # strictly monotone in offset within a partition
+    assert got[1] > got[0]
+    # boundary values land inside the envelope
+    assert all(g >= 0 for g in got)
+
+    for bad in [(KAFKA_MAX_PARTITIONS, 0), (0, KAFKA_MAX_OFFSET), (-1, 0), (0, -1)]:
+        bad_df = spark.createDataFrame([bad], "partition int, offset long")
+        with pytest.raises(Exception, match="composite-seq envelope"):
+            bad_df.select(
+                kafka_composite_seq(F.col("offset"), F.col("partition")).alias("seq")
+            ).collect()

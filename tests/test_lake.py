@@ -442,3 +442,42 @@ def test_gc_orphans_expires_unreadable_time_travel_versions(spark, tmp_table_dir
     # the current version stays fully readable
     cur = SnapshotTable.load(tmp_table_dir)
     assert sorted(r["v"] for r in cur.read_state(spark).collect()) == [10, 11, 12, 13]
+
+
+def test_table_changes_prunes_unchanged_buckets(spark, tmp_table_dir):
+    """CDF reads must skip buckets whose manifests are identical across
+    the two versions — only files of touched buckets appear in the scan."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("v", T.IntegerType(), True),
+    ])
+    t = SnapshotTable.create(tmp_table_dir, schema, "doc_id", num_buckets=16)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id string, v int, op string, commit_wall_ns long, commit_logical long, seq long"
+    )
+    t.merge(spark, mk([(f"k{i}", i, "c", 100, 0, i) for i in range(64)]), "b1")
+    v1 = t.meta["version"]
+    t.merge(spark, mk([("k1", 99, "u", 200, 0, 100)]), "b2")
+
+    cdf = t.table_changes(spark, v1)
+    got = cdf.collect()
+    assert [(r["doc_id"], r["v"], r["_change_type"]) for r in got] == [("k1", 99, "update_postimage")]
+
+    # scan footprint: every input file belongs to a bucket that changed
+    import json as _json
+    import os
+
+    changed_buckets = set()
+    with open(os.path.join(tmp_table_dir, "metadata", f"v{v1}.json")) as f:
+        old_files = {(fe["path"], fe.get("kind")): fe["bucket"] for fe in _json.load(f)["files"]}
+    new_files = {(fe["path"], fe.get("kind")): fe["bucket"] for fe in t.meta["files"]}
+    for key in set(old_files) ^ set(new_files):
+        changed_buckets.add((old_files | new_files)[key])
+    assert changed_buckets  # exactly the bucket(s) of k1
+    for fp in cdf.inputFiles():
+        rel = os.path.relpath(fp.replace("file:", ""), tmp_table_dir)
+        bucket = int([p for p in rel.split(os.sep) if p.startswith("_bucket=")][0].split("=")[1])
+        assert bucket in changed_buckets, f"scanned unchanged bucket {bucket}: {rel}"
+    assert len(cdf.inputFiles()) < 16  # far fewer files than a full x2 scan
