@@ -482,6 +482,239 @@ FROM customer
 """
 
 
+_MULTITABLE_BASE = os.path.join(_WORK, "multitable")
+
+
+def _envelope(after_json: F.Column | None, op: str, table: str, wall: int,
+              key_json: F.Column | None = None) -> F.Column:
+    """Enriched-envelope value JSON for the synthetic multi-table logs."""
+    hlc = f'"{wall}.0000000000"'
+    if after_json is None:
+        return F.concat(
+            F.lit('{"op":"' + op + '","source":{"table_name":"' + table
+                  + '","ts_hlc":' + hlc + "}}"),
+        )
+    return F.concat(
+        F.lit('{"after":'), after_json,
+        F.lit(',"op":"' + op + '","source":{"table_name":"' + table
+              + '","ts_hlc":' + hlc + "}}"),
+    )
+
+
+def q_multitable_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/F3/W7 behind the hash gate: TWO tables' changefeed envelopes
+    interleaved in ONE raw stream (reference primary scenario,
+    CockroachDBMultiTableIT.java) are routed by topic suffix / source
+    block into two independent snapshot tables via MultiTablePipeline
+    (own checkpoints, registries, frontiers); the query returns the union
+    of both tables' canonical final states. Workload per table exercises
+    create + update + delete LWW across micro-batches:
+
+      ordt (from orders):   create@1000 for every key; for key%3==0 a
+                            second event @2000 — delete when key%9==0,
+                            else update (status='UPDATED', amount+1)
+      cust (from customer): create@1000 for every key; delete@2000 for
+                            key%5==0
+
+    plus resolved control rows that advance BOTH frontiers."""
+    import shutil
+
+    from ..streaming.multitable import MultiTablePipeline
+    from ..streaming.pipeline import CDCPipeline, IngestConfig
+
+    base = _MULTITABLE_BASE
+    shutil.rmtree(base, ignore_errors=True)
+
+    def write_registry(log_dir: str, cols: list[tuple[str, str]]) -> None:
+        import json as _json
+
+        os.makedirs(os.path.join(log_dir, "_schema"), exist_ok=True)
+        with open(os.path.join(log_dir, "_schema", "v1.json"), "w") as f:
+            _json.dump({"version": 1, "columns": [
+                {"name": n, "crdb_type": t, "nullable": n != "id"} for n, t in cols
+            ]}, f)
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    ordt_create = o.select(
+        F.lit("crdb.public.ordt").alias("topic"), F.lit(0).cast("int").alias("partition"),
+        (k * 4).alias("offset"), F.lit(0).cast("long").alias("ts_ms"),
+        F.to_json(F.array(k.cast("string"))).alias("key"),
+        _envelope(
+            F.concat(F.lit('{"id":'), k.cast("string"),
+                     F.lit(',"status":"'), F.col("o_orderstatus"),
+                     F.lit('","amount":'), (k % 1000).cast("string"), F.lit("}")),
+            "c", "ordt", 1000,
+        ).alias("value"),
+    )
+    ordt_second = o.filter(k % 3 == 0).select(
+        F.lit("crdb.public.ordt").alias("topic"), F.lit(0).cast("int").alias("partition"),
+        (k * 4 + 1).alias("offset"), F.lit(0).cast("long").alias("ts_ms"),
+        F.to_json(F.array(k.cast("string"))).alias("key"),
+        F.when(
+            k % 9 == 0, _envelope(None, "d", "ordt", 2000),
+        ).otherwise(
+            _envelope(
+                F.concat(F.lit('{"id":'), k.cast("string"),
+                         F.lit(',"status":"UPDATED","amount":'),
+                         (k % 1000 + 1).cast("string"), F.lit("}")),
+                "u", "ordt", 2000,
+            )
+        ).alias("value"),
+    )
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    cust_create = c.select(
+        F.lit("crdb.public.cust").alias("topic"), F.lit(0).cast("int").alias("partition"),
+        (F.lit(10_000_000) + ck * 4).alias("offset"), F.lit(0).cast("long").alias("ts_ms"),
+        F.to_json(F.array(ck.cast("string"))).alias("key"),
+        _envelope(
+            F.concat(F.lit('{"id":'), ck.cast("string"),
+                     F.lit(',"name":"'), F.col("c_name"),
+                     F.lit('","nation":'), F.col("c_nationkey").cast("long").cast("string"),
+                     F.lit("}")),
+            "c", "cust", 1000,
+        ).alias("value"),
+    )
+    cust_delete = c.filter(ck % 5 == 0).select(
+        F.lit("crdb.public.cust").alias("topic"), F.lit(0).cast("int").alias("partition"),
+        (F.lit(10_000_000) + ck * 4 + 1).alias("offset"), F.lit(0).cast("long").alias("ts_ms"),
+        F.to_json(F.array(ck.cast("string"))).alias("key"),
+        _envelope(None, "d", "cust", 2000).alias("value"),
+    )
+    resolved = spark.createDataFrame(
+        [("crdb.public.ordt", 0, 20_000_000, 0, None, '{"resolved":"3000.0000000000"}')],
+        "topic string, partition int, offset long, ts_ms long, key string, value string",
+    )
+    mixed = (
+        ordt_create.unionByName(ordt_second)
+        .unionByName(cust_create).unionByName(cust_delete).unionByName(resolved)
+    )
+    mixed_dir = os.path.join(base, "log")
+    mixed.repartitionByRange(4, "offset").sortWithinPartitions("offset") \
+        .write.mode("overwrite").parquet(mixed_dir)
+
+    pipes = {}
+    for name, cols in (
+        ("ordt", [("id", "INT8"), ("status", "STRING"), ("amount", "INT8")]),
+        ("cust", [("id", "INT8"), ("name", "STRING"), ("nation", "INT8")]),
+    ):
+        tdir = os.path.join(base, name)
+        write_registry(tdir, cols)
+        pipes[name] = CDCPipeline(spark, IngestConfig(
+            log_dir=tdir, table_path=os.path.join(tdir, "table"),
+            metrics_path=os.path.join(tdir, "metrics"), pk_name="id",
+            num_buckets=8, snapshot_mode="never",
+        ))
+    mt = MultiTablePipeline(spark, pipes)
+    q = mt.start_stream(mixed_dir, os.path.join(base, "ckpt"),
+                        max_files_per_trigger=2, available_now=True)
+    q.awaitTermination()
+
+    out = None
+    for name, (sval, nval) in (("ordt", ("status", "amount")), ("cust", ("name", "nation"))):
+        st = pipes[name].read_state().select(
+            F.lit(name).alias("table_name"), F.col("id"),
+            F.col(sval).alias("sval"), F.col(nval).cast("long").alias("nval"),
+        )
+        out = st if out is None else out.unionByName(st)
+    # both frontiers advanced via the shared resolved row — assert, since
+    # the oracle cannot see table metadata
+    for name in pipes:
+        assert pipes[name].table.meta["frontier"]["wall_ns"] == 3000, name
+    return out
+
+
+SQL_MULTITABLE = """
+SELECT 'ordt' AS table_name, CAST(o_orderkey AS BIGINT) AS id,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'UPDATED' ELSE o_orderstatus END AS sval,
+       CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 1000 + 1
+                 ELSE o_orderkey % 1000 END AS BIGINT) AS nval
+FROM orders WHERE o_orderkey % 9 <> 0
+UNION ALL
+SELECT 'cust' AS table_name, CAST(c_custkey AS BIGINT) AS id,
+       c_name AS sval, CAST(c_nationkey AS BIGINT) AS nval
+FROM customer WHERE c_custkey % 5 <> 0
+"""
+
+
+_BACKFILL_BASE = os.path.join(_WORK, "backfill")
+
+
+def q_backfill_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 behind the hash gate: signal-triggered incremental snapshot
+    (reference CockroachDBIncrementalSnapshotIT.java:47-120) — the stream
+    first applies live updates for part of the key space (wall=5000), then
+    an execute-snapshot signal re-reads the FULL source in bucket-aligned
+    chunks as op='r' rows at the (older) snapshot timestamp. The merge
+    guard makes the backfill fill only keys the stream has not touched —
+    the seed-overlay semantics the SQL oracle recomputes."""
+    import json as _json
+    import shutil
+
+    from ..streaming.backfill import process_signals
+    from ..streaming.pipeline import CDCPipeline, IngestConfig
+
+    base = _BACKFILL_BASE
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "log")
+
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    stream_events = c.filter(ck % 4 == 0).select(
+        F.lit("crdb.public.bk").alias("topic"), F.lit(0).cast("int").alias("partition"),
+        ck.alias("offset"), F.lit(0).cast("long").alias("ts_ms"),
+        F.to_json(F.array(ck.cast("string"))).alias("key"),
+        _envelope(
+            F.concat(F.lit('{"id":'), ck.cast("string"),
+                     F.lit(',"name":"stream-'), ck.cast("string"),
+                     F.lit('","score":'), (ck * 2).cast("string"), F.lit("}")),
+            "u", "bk", 5000,
+        ).alias("value"),
+    )
+    stream_events.repartitionByRange(2, "offset").sortWithinPartitions("offset") \
+        .write.mode("overwrite").parquet(log_dir)
+    os.makedirs(os.path.join(log_dir, "_schema"), exist_ok=True)
+    with open(os.path.join(log_dir, "_schema", "v1.json"), "w") as f:
+        _json.dump({"version": 1, "columns": [
+            {"name": "id", "crdb_type": "INT8", "nullable": False},
+            {"name": "name", "crdb_type": "STRING"},
+            {"name": "score", "crdb_type": "INT8"},
+        ]}, f)
+
+    pipe = CDCPipeline(spark, IngestConfig(
+        log_dir=log_dir, table_path=os.path.join(base, "table"),
+        metrics_path=os.path.join(base, "metrics"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        pk_name="id", num_buckets=8, snapshot_mode="never",
+        snapshot_wall_ns=1000,  # backfill rows are OLDER than stream rows
+    ))
+    q = pipe.start_stream(available_now=True)
+    q.awaitTermination()
+
+    sig_dir = os.path.join(base, "signals")
+    os.makedirs(sig_dir, exist_ok=True)
+    with open(os.path.join(sig_dir, "001.json"), "w") as f:
+        _json.dump({"id": "sig-1", "type": "execute-snapshot",
+                    "data": {"source": "default"}}, f)
+    source = c.select(
+        ck.alias("id"), F.col("c_name").alias("name"), ck.alias("score")
+    )
+    results = process_signals(pipe, sig_dir, {"default": source}, n_chunks=4)
+    assert len(results) == 1 and len(results[0]) == 4  # chunked, signal drained
+    return pipe.read_state().select("id", "name", F.col("score").cast("long").alias("score"))
+
+
+SQL_BACKFILL = """
+SELECT CAST(c_custkey AS BIGINT) AS id,
+       CASE WHEN c_custkey % 4 = 0 THEN 'stream-' || CAST(c_custkey AS VARCHAR)
+            ELSE c_name END AS name,
+       CAST(CASE WHEN c_custkey % 4 = 0 THEN c_custkey * 2
+                 ELSE c_custkey END AS BIGINT) AS score
+FROM customer
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-data operators over `documents` / `embeddings`
 # --------------------------------------------------------------------------
@@ -1172,6 +1405,8 @@ def queries() -> dict[str, QueryFn]:
         "cdc_op_classify": q_cdc_op_classify,
         "cdc_resolved_frontier": q_cdc_resolved_frontier,
         "cdc_merge_apply": q_cdc_merge_apply,
+        "multitable_routing": q_multitable_routing,
+        "backfill_incremental": q_backfill_incremental,
         "table_changes_cdf": q_table_changes_cdf,
         "hlc_parse_roundtrip": q_hlc_parse_roundtrip,
         "envelope_extract": q_envelope_extract,
@@ -1206,6 +1441,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_op_classify": SQL_CDC_OP_CLASSIFY,
         "cdc_resolved_frontier": SQL_CDC_FRONTIER,
         "cdc_merge_apply": SQL_CDC_MERGE_APPLY,
+        "multitable_routing": SQL_MULTITABLE,
+        "backfill_incremental": SQL_BACKFILL,
         "table_changes_cdf": SQL_TABLE_CHANGES,
         "hlc_parse_roundtrip": SQL_HLC_ROUNDTRIP,
         "envelope_extract": SQL_ENVELOPE_EXTRACT,
