@@ -217,6 +217,23 @@ def main() -> None:
         n = fn(spark, op_dir).count()
         timings[name] = round(time.time() - t0, 3)
 
+    if not os.environ.get("BENCH_SKIP_OPERATORS"):
+        # auto-scaled sign-LSH (n_planes=None -> ceil(log2(N/target))):
+        # the scale path the fixed-plane oracle query can't show — bucket
+        # occupancy stays ~constant as the corpus grows, so this entry
+        # should grow sub-linearly across the sf-synth trend
+        from pyspark.sql import functions as F
+
+        from debezium_connector_cockroachdb_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{op_dir}/embeddings.parquet")
+        qdf = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        t0 = time.time()
+        similarity.cosine_topk_lsh(emb, qdf, k=3, n_planes=None).count()
+        timings["ann_cosine_topk_lsh_auto"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "cdc_apply_throughput_and_operator_suite",

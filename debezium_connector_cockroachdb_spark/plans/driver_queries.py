@@ -984,6 +984,37 @@ GROUP BY 1, 2
 """
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch sequence packing over the documents table: contiguous
+    doc_id-order packing into 128-token windows via the two-phase
+    distributed prefix sum (operators/packing.py) — the window/pack
+    arithmetic the SQL oracle recomputes with a plain ordered cumsum."""
+    from ..operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    return pack_sequences(d, capacity=128)
+
+
+SQL_SEQUENCE_PACKING = """
+WITH lens AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tok,
+         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM lens
+)
+SELECT doc_id, n_tok, CAST(s // 128 AS BIGINT) AS pack_id,
+       CAST(s % 128 AS BIGINT) AS pack_offset
+FROM c
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return (
@@ -1416,6 +1447,7 @@ def queries() -> dict[str, QueryFn]:
         "schema_defaults": q_schema_defaults,
         "text_analysis": q_text_analysis,
         "token_stats": q_token_stats,
+        "sequence_packing": q_sequence_packing,
         "stream_dedup": q_stream_dedup,
         "stream_windowed_counts": q_stream_windowed_counts,
         "dedup_exact": q_dedup_exact,
@@ -1452,6 +1484,7 @@ def oracle_sql() -> dict[str, str]:
         "schema_defaults": SQL_SCHEMA_DEFAULTS,
         "text_analysis": SQL_TEXT_ANALYSIS,
         "token_stats": _token_stats_sql(),
+        "sequence_packing": SQL_SEQUENCE_PACKING,
         "stream_dedup": SQL_STREAM_DEDUP,
         "stream_windowed_counts": SQL_STREAM_WINDOWED,
         "dedup_exact": SQL_DEDUP_EXACT,
