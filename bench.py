@@ -145,6 +145,7 @@ OPERATOR_BENCH = [
     "ann_cosine_topk",
     "ann_cosine_topk_lsh",
     "ngram_jaccard",
+    "sequence_packing",
 ]
 
 
