@@ -59,3 +59,30 @@ def test_packing_no_global_single_partition_sort(spark):
 def test_packing_empty_input(spark):
     df = spark.createDataFrame([], "doc_id long, n_tok long")
     assert pack_sequences(df, CAP).count() == 0
+
+
+def test_packing_property_random_shapes(spark):
+    """Hypothesis: for arbitrary sparse id sets and token lengths
+    (including zero-length docs), the distributed result equals the
+    sequential fold."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rows_strategy = st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**9),
+                  st.integers(min_value=0, max_value=200)),
+        min_size=1, max_size=60, unique_by=lambda t: t[0],
+    )
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=rows_strategy)
+    def check(rows):
+        df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+        got = {
+            r["doc_id"]: (r["pack_id"], r["pack_offset"])
+            for r in pack_sequences(df, CAP, num_buckets=5).collect()
+        }
+        assert got == _ground_truth(rows)
+
+    check()
