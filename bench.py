@@ -65,10 +65,14 @@ def build_spark(cpus: int):
         })
     else:
         master = f"local[{cpus}]"
+    # shuffle partitions scale with cores (same RULE at every level so the
+    # N→4N comparison stays apples-to-apples); BENCH_SHUFFLE_MULT widens
+    # the task pool per core for straggler smoothing at low core counts
+    mult = int(os.environ.get("BENCH_SHUFFLE_MULT", "1"))
     return build_session(
         app_name="bench",
         master=master,
-        shuffle_partitions=cpus,
+        shuffle_partitions=cpus * mult,
         extra_conf=extra,
     )
 
