@@ -1015,6 +1015,36 @@ FROM c
 """
 
 
+SAMPLE_FRACTIONS = {"en": 0.5, "zh": 0.25, "de": 0.2, "fr": 0.1}
+SAMPLE_SALT = "mix-v1"
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-mixture rebalance):
+    keep each language at its mixture fraction via the salt-keyed md5-48
+    uniform (operators/sampling.py) — a pure map whose row-level keep
+    decisions the SQL oracle reproduces exactly."""
+    from ..operators.sampling import sample_stratified
+
+    d = _t(spark, sf_dir, "documents")
+    return sample_stratified(
+        d, "lang", SAMPLE_FRACTIONS, default_fraction=0.05,
+        salt=SAMPLE_SALT,
+    ).select("doc_id", "lang")
+
+
+def _stratified_sample_sql() -> str:
+    h = H48_SQL.format(expr=f"CAST(doc_id AS VARCHAR) || '{SAMPLE_SALT}'")
+    cases = " ".join(
+        f"WHEN lang = '{v}' THEN {f}" for v, f in sorted(SAMPLE_FRACTIONS.items())
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE CAST(({h}) AS DOUBLE) / 281474976710656.0
+      < (CASE {cases} ELSE 0.05 END)
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return (
@@ -1448,6 +1478,7 @@ def queries() -> dict[str, QueryFn]:
         "text_analysis": q_text_analysis,
         "token_stats": q_token_stats,
         "sequence_packing": q_sequence_packing,
+        "stratified_sample": q_stratified_sample,
         "stream_dedup": q_stream_dedup,
         "stream_windowed_counts": q_stream_windowed_counts,
         "dedup_exact": q_dedup_exact,
@@ -1485,6 +1516,7 @@ def oracle_sql() -> dict[str, str]:
         "text_analysis": SQL_TEXT_ANALYSIS,
         "token_stats": _token_stats_sql(),
         "sequence_packing": SQL_SEQUENCE_PACKING,
+        "stratified_sample": _stratified_sample_sql(),
         "stream_dedup": SQL_STREAM_DEDUP,
         "stream_windowed_counts": SQL_STREAM_WINDOWED,
         "dedup_exact": SQL_DEDUP_EXACT,
