@@ -160,6 +160,22 @@ def kafka_composite_seq(offset: F.Column, partition: F.Column) -> F.Column:
     )
 
 
+def map_kafka_records(df: DataFrame) -> DataFrame:
+    """ConsumerRecord-shaped rows (topic, partition, offset, timestamp,
+    binary key/value) → RAW_LOG_SCHEMA, so everything downstream of the
+    source is format-agnostic. Separated from the (jar-gated) Kafka
+    reader so the mapping — seq fold, binary→string casts, timestamp
+    millis — is unit-testable without a broker."""
+    return df.select(
+        F.col("topic"),
+        F.col("partition"),
+        kafka_composite_seq(F.col("offset"), F.col("partition")).alias("offset"),
+        F.unix_millis(F.col("timestamp")).alias("ts_ms"),
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+    )
+
+
 def load_registry_specs(log_dir: str) -> tuple[int, list[ColumnSpec]]:
     """Latest schema descriptor from the log's ``_schema`` registry — the
     information_schema re-read analogue (CockroachDBSchema.java:62-89)."""
@@ -519,18 +535,10 @@ class CDCPipeline:
                     "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver> "
                     "or use the parquet replay source"
                 ) from e
-            return kafka.select(
-                F.col("topic"),
-                F.col("partition"),
-                # Kafka offsets are only unique per partition; downstream
-                # ordering/dedup needs a globally-unique seq — composite
-                # fold with loud out-of-envelope failure (no silent
-                # truncation), see kafka_composite_seq
-                kafka_composite_seq(F.col("offset"), F.col("partition")).alias("offset"),
-                F.unix_millis(F.col("timestamp")).alias("ts_ms"),
-                F.col("key").cast("string").alias("key"),
-                F.col("value").cast("string").alias("value"),
-            )
+            # Kafka offsets are only unique per partition; downstream
+            # ordering/dedup needs a globally-unique seq — composite fold
+            # with loud out-of-envelope failure, see map_kafka_records
+            return map_kafka_records(kafka)
         reader = self.spark.readStream.schema(RAW_LOG_SCHEMA)
         if self.cfg.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", self.cfg.max_files_per_trigger)

@@ -199,3 +199,54 @@ def test_kafka_composite_seq_envelope(spark):
             bad_df.select(
                 kafka_composite_seq(F.col("offset"), F.col("partition")).alias("seq")
             ).collect()
+
+
+def test_kafka_record_mapping_end_to_end(spark):
+    """The full Kafka ConsumerRecord → RAW_LOG_SCHEMA mapping (binary
+    key/value decode, millis timestamp, composite seq), then THROUGH the
+    envelope parser — proving records delivered by the (jar-gated) Kafka
+    reader would flow the whole pipeline unchanged."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from debezium_connector_cockroachdb_spark.functions.converters import ColumnSpec
+    from debezium_connector_cockroachdb_spark.sources.envelope import (
+        RAW_LOG_SCHEMA,
+        parse_changefeed,
+    )
+    from debezium_connector_cockroachdb_spark.streaming.pipeline import map_kafka_records
+
+    ts = datetime.datetime(2026, 1, 2, 3, 4, 5, 250000)
+    val = (
+        '{"after":{"id":7,"name":"x"},"op":"c",'
+        '"source":{"table_name":"t","ts_hlc":"1000.0000000000"}}'
+    )
+    rows = [
+        ("crdb.public.t", 3, 42, ts, bytearray(b'["7"]'), bytearray(val, "utf8")),
+        ("crdb.public.t", 3, 43, ts, bytearray(b'["8"]'), None),  # tombstone
+    ]
+    schema = T.StructType([
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+    ])
+    raw = map_kafka_records(spark.createDataFrame(rows, schema))
+    assert raw.schema == RAW_LOG_SCHEMA or [f.name for f in raw.schema.fields] == [
+        f.name for f in RAW_LOG_SCHEMA.fields
+    ]
+    got = {r["offset"]: r for r in raw.collect()}
+    assert set(got) == {(42 << 12) + 3, (43 << 12) + 3}
+    assert got[(42 << 12) + 3]["value"] == val
+    assert got[(42 << 12) + 3]["ts_ms"] == int(ts.timestamp() * 1000)
+
+    specs = [ColumnSpec("id", "INT8", nullable=False), ColumnSpec("name", "STRING")]
+    parsed = {r["seq"]: r for r in parse_changefeed(raw, specs, "id").collect()}
+    data = parsed[(42 << 12) + 3]
+    assert data["op"] == "c" and data["pk"] == 7 and data["after"]["name"] == "x"
+    assert data["commit_wall_ns"] == 1000 and data["table_name"] == "t"
+    assert parsed[(43 << 12) + 3]["is_control"]  # tombstone routed as control
