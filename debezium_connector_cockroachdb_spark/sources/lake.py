@@ -372,6 +372,10 @@ class SnapshotTable:
         new_files: list[dict[str, Any]] = []
         if touched:
             u_rows = spark.read.parquet(staging)  # partition discovery restores _bucket
+            # the anti join consumes the UNHINTED plan: its update side is
+            # the LEFT (streamed) side there, where a broadcast hint is
+            # invalid (Spark warns and ignores it) — AQE picks its strategy
+            u_rows_anti = u_rows
             # broadcast only when the update set is genuinely small — a
             # forced broadcast of a big batch builds its hash relation
             # single-threaded on the driver (measured serial-fraction
@@ -402,7 +406,7 @@ class SnapshotTable:
             # of unseen keys — guards against late older inserts
             # resurrecting them)
             unmatched = (
-                u_rows.alias("u")
+                u_rows_anti.alias("u")
                 .join(tgt_b.select(pk).alias("t"), on=F.col(f"u.{pk}") == F.col(f"t.{pk}"), how="left_anti")
                 .select(F.struct(*[F.col(c) for c in user_cols + ["_bucket"] + META_COLS]).alias("r"),
                         F.lit(True).alias("_applied"), F.lit(False).alias("_matched"))
