@@ -150,6 +150,8 @@ OPERATOR_BENCH = [
     "ann_cosine_topk_lsh",
     "ngram_jaccard",
     "sequence_packing",
+    "embedding_neardup",
+    "stream_dedup",
 ]
 
 
@@ -206,7 +208,16 @@ def main() -> None:
         repeats = max(int(os.environ.get("BENCH_REPEATS", "2")), 1)
         runs = [bench_cdc_apply(spark) for _ in range(repeats)]
         cdc_dt, cdc_stats = min(runs, key=lambda r: r[0])
+        secs = sorted(dt for dt, _ in runs)
+        mid = len(secs) // 2
+        median_dt = secs[mid] if len(secs) % 2 else (secs[mid - 1] + secs[mid]) / 2
+        # headline = best-of-K (the shared host's bandwidth wall moves with
+        # neighbor load, so min is the least-contended estimate); the
+        # selection rule and the median are disclosed so readers can judge
+        # steady-state vs best-case themselves
         cdc_stats["repeat_secs"] = [round(dt, 3) for dt, _ in runs]
+        cdc_stats["headline_stat"] = f"min_of_{repeats}"
+        cdc_stats["median_secs"] = round(median_dt, 3)
         timings["cdc_full_apply"] = round(cdc_dt, 3)
 
     # BENCH_SF_SYNTH=k: run the operator suite over a k-fold derived
@@ -216,11 +227,19 @@ def main() -> None:
     if synth > 1:
         op_dir = synth_scale_dir(spark, synth)
 
+    # operator rows are best-of-K too (same host-variance rationale as the
+    # CDC headline; all repeats disclosed in op_repeat_secs)
+    op_repeats = max(int(os.environ.get("BENCH_OP_REPEATS", "2")), 1)
+    op_repeat_secs: dict[str, list[float]] = {}
     for name in [] if os.environ.get("BENCH_SKIP_OPERATORS") else OPERATOR_BENCH:
         fn = qs[name]
-        t0 = time.time()
-        n = fn(spark, op_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        secs = []
+        for _ in range(op_repeats):
+            t0 = time.time()
+            fn(spark, op_dir).count()
+            secs.append(round(time.time() - t0, 3))
+        timings[name] = min(secs)
+        op_repeat_secs[name] = secs
 
     if not os.environ.get("BENCH_SKIP_OPERATORS"):
         # auto-scaled sign-LSH (n_planes=None -> ceil(log2(N/target))):
@@ -235,9 +254,13 @@ def main() -> None:
         qdf = emb.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        t0 = time.time()
-        similarity.cosine_topk_lsh(emb, qdf, k=3, n_planes=None).count()
-        timings["ann_cosine_topk_lsh_auto"] = round(time.time() - t0, 3)
+        secs = []
+        for _ in range(op_repeats):
+            t0 = time.time()
+            similarity.cosine_topk_lsh(emb, qdf, k=3, n_planes=None).count()
+            secs.append(round(time.time() - t0, 3))
+        timings["ann_cosine_topk_lsh_auto"] = min(secs)
+        op_repeat_secs["ann_cosine_topk_lsh_auto"] = secs
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -248,6 +271,7 @@ def main() -> None:
         "sf": SF_DIR,
         "cpus": CPUS,
         "cdc": cdc_stats,
+        "op_repeat_secs": op_repeat_secs,
     }
     print(json.dumps(out))
     spark.stop()

@@ -86,13 +86,18 @@ def pack_sequences(
         acc += int(totals.get(b, 0))
     off_df = spark.createDataFrame(offsets, "_b int, _bucket_start long")
 
+    # exact long arithmetic throughout: `div` is integer division (floor for
+    # the non-negative start), while floor(start / capacity) would route
+    # through float64 and lose exactness once the cumulative token count
+    # passes 2^53 — real at 10^10-doc scale with long documents
     start = F.col("_bucket_start") + F.col("_before")
     return (
         local.join(F.broadcast(off_df), "_b")
+        .withColumn("_start", start)
         .select(
             id_col,
             len_col,
-            F.floor(start / capacity).cast("long").alias("pack_id"),
-            F.pmod(start, F.lit(capacity)).cast("long").alias("pack_offset"),
+            F.expr(f"_start div {int(capacity)}").alias("pack_id"),
+            F.pmod(F.col("_start"), F.lit(capacity)).cast("long").alias("pack_offset"),
         )
     )

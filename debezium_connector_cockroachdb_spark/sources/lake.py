@@ -664,6 +664,7 @@ class SnapshotTable:
         storage at 10^10 rows)."""
         referenced = {os.path.normpath(fe["path"]) for fe in self.meta["files"]}
         removed_data = removed_meta = removed_staging = 0
+        surviving: set[str] = set()  # data paths still on disk after expiry
         data_root = os.path.join(self.path, "data")
         if os.path.isdir(data_root):
             for vdir in sorted(os.listdir(data_root)):
@@ -675,6 +676,8 @@ class SnapshotTable:
                         if rel not in referenced:
                             os.remove(full)
                             removed_data += 1
+                        else:
+                            surviving.add(rel)
                 # drop now-empty version dirs bottom-up
                 for root, dirs, fns in list(os.walk(vpath, topdown=False)):
                     if not os.listdir(root):
@@ -701,6 +704,9 @@ class SnapshotTable:
         # files. Drop such manifests so load(version=) fails fast with the
         # intended "not retained" error instead of succeeding and then
         # blowing up mid-scan on missing parquet (lake.load contract).
+        # Membership is tested against the surviving-path set built during
+        # the expiry walk above — one metadata pass total, not
+        # O(retained_versions × files) stat calls on the driver.
         for fn in os.listdir(mdir):
             if not (fn.startswith("v") and fn.endswith(".json")):
                 continue
@@ -713,8 +719,7 @@ class SnapshotTable:
             with open(os.path.join(mdir, fn)) as f:
                 old = json.load(f)
             if any(
-                not os.path.exists(os.path.join(self.path, fe["path"]))
-                for fe in old["files"]
+                os.path.normpath(fe["path"]) not in surviving for fe in old["files"]
             ):
                 os.remove(os.path.join(mdir, fn))
                 removed_meta += 1

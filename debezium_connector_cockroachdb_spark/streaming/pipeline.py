@@ -326,6 +326,11 @@ class CDCPipeline:
             # key-set variants are few (schema changes are rare), so the
             # set stays tiny even on 10^7-row batches
             key_sets.alias("key_sets"),
+            # poison offsets for the quarantine path (X3): longs only —
+            # even a fully-poisoned 10^7-row batch collects ~80 MB once,
+            # and the dead-letter write then needs NO second parse (it
+            # filters the raw batch by offset)
+            F.collect_list(F.when(F.col("is_malformed"), F.col("seq"))).alias("bad_seqs"),
         ).collect()[0]
 
     def process_batch(self, raw: DataFrame, batch_id: int) -> dict[str, Any]:
@@ -350,7 +355,8 @@ class CDCPipeline:
                 # (E2/E3 — backlog events convert against the new schema)
                 parsed = parse_changefeed(raw, self.specs, self.cfg.pk_name, with_drift_keys=True)
                 row = self._batch_agg(parsed, with_keys=True)
-            agg = {k: row[k] for k in ("n_raw", "n_control", "n_malformed", "n_keyless", "min_seq", "max_seq")}
+            agg = {k: row[k] for k in ("n_raw", "n_control", "n_malformed", "n_keyless",
+                                       "min_seq", "max_seq", "bad_seqs")}
             if row["fr"] is not None:
                 frontier = f"{row['fr']['w']}.{row['fr']['l']:010d}"
 
@@ -387,6 +393,9 @@ class CDCPipeline:
                         + hlc_logical(F.col("resolved")).cast("decimal(38,0)"),
                     )
                 ).alias("fr_enc"),
+                # poison offsets (X3) — see _batch_agg: rides THE one parse
+                # pass so the quarantine write never re-parses the batch
+                F.collect_list(F.when(F.col("is_malformed"), F.col("seq"))).alias("bad_seqs"),
             )
 
         # keyless rows (no after image, no usable message key) can never be
@@ -417,7 +426,8 @@ class CDCPipeline:
                 print(f"[cdc] observe fallback fired for batch {batch_id}", file=_sys.stderr)
                 row = self._batch_agg(parsed, with_keys=False)
                 obs_cache.update({k: row[k] for k in (
-                    "n_raw", "n_control", "n_malformed", "n_keyless", "min_seq", "max_seq")})
+                    "n_raw", "n_control", "n_malformed", "n_keyless", "min_seq", "max_seq",
+                    "bad_seqs")})
                 fr = row["fr"]
                 obs_cache["fr_enc"] = None if fr is None else fr["w"] * 10_000_000_000 + fr["l"]
             return obs_cache
@@ -440,19 +450,26 @@ class CDCPipeline:
         if not stats.get("skipped"):
             if agg is None:
                 o = obs_metrics()
-                agg = {k: o[k] for k in ("n_raw", "n_control", "n_malformed", "n_keyless", "min_seq", "max_seq")}
+                agg = {k: o[k] for k in ("n_raw", "n_control", "n_malformed", "n_keyless",
+                                         "min_seq", "max_seq", "bad_seqs")}
             n_raw, n_control = int(agg["n_raw"]), int(agg["n_control"] or 0)
             n_malformed = int(agg["n_malformed"] or 0)
             # quarantine poison records instead of killing the stream (X3 —
             # replaying a malformed byte stream never heals; dead-letter
             # table is the distributed-sane version of "retriable").
-            # Rare path → its own small job.
+            # Offsets were collected on THE one parse pass, so this write
+            # is a parse-free filter over the raw batch — a pathological
+            # all-poison batch still parses exactly once.
             if self.cfg.errors_path and n_malformed > 0:
-                bad = parse_changefeed(raw, self.specs, self.cfg.pk_name, with_drift_keys=False)
-                bad_seqs = bad.filter(F.col("is_malformed")).select(F.col("seq").alias("offset"))
-                raw.join(bad_seqs, "offset", "left_semi").withColumn(
-                    "batch_id", F.lit(batch_id)
-                ).write.mode("append").parquet(self.cfg.errors_path)
+                bad = sorted(int(s) for s in (agg.get("bad_seqs") or []))
+                if len(bad) <= 1000:
+                    poison = raw.filter(F.col("offset").isin(bad))
+                else:
+                    seq_df = self.spark.createDataFrame([(s,) for s in bad], "offset long")
+                    poison = raw.join(F.broadcast(seq_df), "offset", "left_semi")
+                poison.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+                    self.cfg.errors_path
+                )
             stats.update(
                 n_raw=n_raw, n_control=n_control, n_data=n_raw - n_control,
                 n_malformed=n_malformed, n_keyless=int(agg["n_keyless"] or 0),
@@ -617,11 +634,20 @@ class CDCPipeline:
 
                 self._last_heartbeat = time.time()
                 hb_listener = _Heartbeat()
-                self._hb_listener = hb_listener
-                self.spark.streams.addListener(hb_listener)
         q = writer.start()
         if hb_listener is not None:
+            # register only after start(), with the query id already set —
+            # a listener registered before the id is known can see the
+            # query terminate while query_id is still None, skip its
+            # self-detach, and leak session-globally. The attach-then-check
+            # below closes the remaining window: a query that died between
+            # start() and addListener() delivers no termination event to
+            # this listener, so detach it explicitly.
             hb_listener.query_id = str(q.id)
+            self._hb_listener = hb_listener
+            self.spark.streams.addListener(hb_listener)
+            if not q.isActive:
+                self.detach_heartbeat_listener()
         return q
 
     def run_to_completion(self, seed_df: DataFrame | None = None) -> None:
