@@ -147,6 +147,7 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
     Same output shape as cosine_topk (recall < 1 by design).
@@ -154,9 +155,13 @@ def cosine_topk_lsh(
     ``n_planes=None`` auto-scales the bucket count with the corpus size
     (``auto_n_planes``) so within-bucket candidate work stays ~constant as
     the corpus grows — pass an explicit value only for reproducible
-    small-scale comparisons (the oracle-gated driver query does)."""
+    small-scale comparisons (the oracle-gated driver query does).
+    ``n_vectors`` supplies the corpus size for that auto-scaling (callers
+    with catalog/manifest row counts pass it — at 10^10 rows a full
+    ``count()`` job just to size the buckets is gratuitous); when absent
+    the operator counts once."""
     if n_planes is None:
-        n_planes = auto_n_planes(corpus.count())
+        n_planes = auto_n_planes(corpus.count() if n_vectors is None else n_vectors)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
@@ -187,6 +192,7 @@ def ivf_assign(
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_vectors: int | None = None,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """IVF coarse quantizer: k-means with deterministic seeding (every
     (N/k)-th vector by id order — no RNG, reproducible across runs) and
@@ -196,7 +202,7 @@ def ivf_assign(
     over the scan; only k×dim floats move to the driver per iteration.
     Ties in the argmin break toward the lowest cell index."""
     v = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
-    n = v.count()
+    n = v.count() if n_vectors is None else n_vectors
     stride = max(n // n_centroids, 1)
     # deterministic seeding without collecting the corpus: a hash-stride
     # filter pulls ~k candidate rows to the driver, never the full table
@@ -241,16 +247,29 @@ def ivf_assign(
             .select(*df.columns, "_cell")
         )
 
+    dim = len(cents[0][1])
     for _it in range(n_iters):
         assigned = assign(v, cents)
-        means = (
-            assigned.groupBy("_cell")
-            .agg(*[F.avg(F.col("_v").getItem(d)).alias(f"m{d}") for d in range(len(cents[0][1]))])
+        # Lloyd re-centering via posexplode → (_cell, pos) mean → k×dim
+        # NARROW rows to the driver. The alternative — one avg(_v[d])
+        # aggregate expression per dimension — plans O(dim) expressions:
+        # fine at toy dims, but codegen/plan size blows up at the
+        # dim≈1536-4096 of real embedding tables (the same plan-width trap
+        # as the fixed per-centroid CASE chain this module already
+        # removed). The explode shuffles (cell, pos, value) triples —
+        # map-side combinable avg, uniform keys, payload never sorted.
+        rows = (
+            assigned.select("_cell", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("_cell", "_pos")
+            .agg(F.avg("_x").alias("_m"))
             .collect()
         )
+        acc: dict[int, dict[int, float]] = {}
+        for r in rows:
+            acc.setdefault(r["_cell"], {})[r["_pos"]] = r["_m"]
         new = dict(cents)
-        for r in means:
-            new[r["_cell"]] = [r[f"m{d}"] for d in range(len(cents[0][1]))]
+        for cell, d in acc.items():
+            new[cell] = [d[i] for i in range(dim)]
         cents = sorted(new.items())
     out = assign(corpus.select(F.col(id_col), F.col(vec_col),
                                F.col(vec_col).cast("array<double>").alias("_v")), cents).drop("_v")
@@ -324,13 +343,15 @@ def embedding_near_duplicates(
     n_planes: int | None = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cos ≥ threshold), LSH-blocked: pairs
     are only compared within a bucket — at ≥0.95 cosine the sign vectors
     nearly always agree, so recall stays high while candidates drop from
-    N² to Σ bucket². ``n_planes=None`` auto-scales with corpus size."""
+    N² to Σ bucket². ``n_planes=None`` auto-scales with corpus size;
+    ``n_vectors`` (catalog/manifest row count) makes that count-free."""
     if n_planes is None:
-        n_planes = auto_n_planes(df.count())
+        n_planes = auto_n_planes(df.count() if n_vectors is None else n_vectors)
     v = df.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),

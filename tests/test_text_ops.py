@@ -165,7 +165,27 @@ def test_ivf_assign_deterministic_and_total(spark, vecs):
     assert m1 == m2 and len(m1) == 5  # every vector assigned exactly once
 
 
-def test_rolling_fingerprint_properties(spark):
+def test_ivf_recenter_high_dim(spark):
+    """Lloyd re-centering must stay narrow at real embedding widths: the
+    posexplode → (cell, pos) mean path plans a FIXED number of aggregate
+    expressions regardless of dim (the old avg(_v[d]) fan-out planned one
+    per dimension — codegen pain at dim≈1536-4096). At dim=1024 with two
+    well-separated clusters the recovered centroids are exactly the
+    per-cluster means."""
+    dim = 1024
+    rows = []
+    for i in range(6):
+        base = 1.0 if i < 3 else 100.0
+        rows.append((i, [base + i] * dim))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = similarity.ivf_assign(df, n_centroids=2, n_iters=2)
+    by_cell = {}
+    for r in assigned.collect():
+        by_cell.setdefault(r["_cell"], set()).add(r["vec_id"])
+    assert sorted(map(sorted, by_cell.values())) == [[0, 1, 2], [3, 4, 5]]
+    got = sorted(c[0] for _i, c in cents)
+    assert got == [2.0, 104.0]  # exact means: (1+2+3)/3 shifted, (103+104+105)/3
+    assert all(len(c) == dim for _i, c in cents)
     """Rabin-Karp fingerprint: matches the pure-Python fold, and the
     ROLLING property holds — h(a||b) = h(a)*B^|b| + h(b) (mod P), which is
     what makes windowed substring fingerprints O(1) per slide."""
