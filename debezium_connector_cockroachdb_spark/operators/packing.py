@@ -36,29 +36,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def pack_sequences(
+def _global_starts(
     df: DataFrame,
-    capacity: int,
-    id_col: str = "doc_id",
-    len_col: str = "n_tok",
-    num_buckets: int | None = None,
-) -> DataFrame:
-    """(id, len) → (id, len, pack_id, pack_offset) under contiguous
-    packing in ``id_col`` order. ``capacity`` is the window length in
-    tokens (e.g. 2048/4096/8192 for LLM pretraining)."""
-    if capacity <= 0:
-        raise ValueError("capacity must be positive")
+    id_col: str,
+    len_col: str,
+    num_buckets: int | None,
+) -> DataFrame | None:
+    """Shared core: (id, len) → (id, len, _start) where ``_start`` is each
+    document's first-token offset in the concatenated id-ordered stream —
+    the two-phase distributed prefix sum described in the module docstring.
+    Returns None for an empty input."""
     spark = df.sparkSession
     nb = num_buckets or max(spark.sparkContext.defaultParallelism, 1) * 2
 
     base = df.select(F.col(id_col), F.col(len_col).cast("long").alias(len_col))
     lohi = base.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")).first()
     if lohi["lo"] is None:
-        return base.select(
-            id_col, len_col,
-            F.lit(None).cast("long").alias("pack_id"),
-            F.lit(None).cast("long").alias("pack_offset"),
-        ).limit(0)
+        return None
     lo, hi = int(lohi["lo"]), int(lohi["hi"])
     # deterministic order-preserving bucketing: bucket b holds ids in
     # [lo + b*span, lo + (b+1)*span) — identical across the totals job and
@@ -86,18 +80,94 @@ def pack_sequences(
         acc += int(totals.get(b, 0))
     off_df = spark.createDataFrame(offsets, "_b int, _bucket_start long")
 
+    return (
+        local.join(F.broadcast(off_df), "_b")
+        .withColumn("_start", F.col("_bucket_start") + F.col("_before"))
+        .select(id_col, len_col, "_start")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """(id, len) → (id, len, pack_id, pack_offset) under contiguous
+    packing in ``id_col`` order. ``capacity`` is the window length in
+    tokens (e.g. 2048/4096/8192 for LLM pretraining). A document longer
+    than ``capacity`` is reported at its start position only — use
+    :func:`pack_sequences_slices` for the boundary-spanning slice rows a
+    packing dataloader actually consumes."""
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    starts = _global_starts(df, id_col, len_col, num_buckets)
+    if starts is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+                f"{len_col} long, pack_id long, pack_offset long"
+        )
     # exact long arithmetic throughout: `div` is integer division (floor for
     # the non-negative start), while floor(start / capacity) would route
     # through float64 and lose exactness once the cumulative token count
     # passes 2^53 — real at 10^10-doc scale with long documents
-    start = F.col("_bucket_start") + F.col("_before")
+    return starts.select(
+        id_col,
+        len_col,
+        F.expr(f"_start div {int(capacity)}").alias("pack_id"),
+        F.pmod(F.col("_start"), F.lit(capacity)).cast("long").alias("pack_offset"),
+    )
+
+
+def pack_sequences_slices(
+    df: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Boundary-spanning packing: one row per (document × pack it
+    overlaps), so over-capacity and window-crossing documents emit the
+    slice rows a packing dataloader consumes instead of silently
+    overflowing their window.
+
+    Output per row: ``pack_id``, ``slice_start``/``slice_len`` (the token
+    range WITHIN the document) and ``pack_offset`` (where that slice lands
+    inside the pack). Every pack's slices sum to exactly ``capacity``
+    except the final pack; concatenating a document's slices in pack order
+    reproduces tokens [0, len). Zero-length documents emit no rows.
+
+    Scale shape: pure arithmetic on the same two-phase prefix sum as
+    :func:`pack_sequences` — the span explode (sequence of pack ids) is
+    map-side, no extra shuffle; a document of L tokens fans out to
+    ceil(L/capacity)+1 rows at most."""
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    starts = _global_starts(df, id_col, len_col, num_buckets)
+    if starts is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+                f"{len_col} long, pack_id long, slice_start long, "
+                f"slice_len long, pack_offset long"
+        )
+    cap = int(capacity)
+    first = F.expr(f"_start div {cap}")
+    last = F.expr(f"(_start + {len_col} - 1) div {cap}")
+    g0 = F.greatest(F.col("_start"), F.col("pack_id") * cap)
+    g1 = F.least(F.col("_start") + F.col(len_col), (F.col("pack_id") + 1) * cap)
     return (
-        local.join(F.broadcast(off_df), "_b")
-        .withColumn("_start", start)
+        starts.filter(F.col(len_col) > 0)
+        .select(
+            id_col, len_col, "_start",
+            F.explode(F.sequence(first, last)).alias("pack_id"),
+        )
         .select(
             id_col,
             len_col,
-            F.expr(f"_start div {int(capacity)}").alias("pack_id"),
-            F.pmod(F.col("_start"), F.lit(capacity)).cast("long").alias("pack_offset"),
+            F.col("pack_id").cast("long").alias("pack_id"),
+            (g0 - F.col("_start")).cast("long").alias("slice_start"),
+            (g1 - g0).cast("long").alias("slice_len"),
+            (g0 - F.col("pack_id") * cap).cast("long").alias("pack_offset"),
         )
     )

@@ -1015,6 +1015,43 @@ FROM c
 """
 
 
+def q_sequence_packing_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-spanning packing: one row per (document × pack it
+    overlaps) with in-document slice ranges — capacity 32 tokens, so most
+    documents cross windows and many span several packs. The SQL oracle is
+    the same ordered cumsum with a generate_series span explode."""
+    from ..operators.packing import pack_sequences_slices
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    return pack_sequences_slices(d, capacity=32)
+
+
+SQL_SEQUENCE_PACKING_SLICES = """
+WITH lens AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+  FROM lens
+), spans AS (
+  SELECT doc_id, n_tok, s,
+         unnest(generate_series(s // 32, (s + n_tok - 1) // 32)) AS pack_id
+  FROM c WHERE n_tok > 0
+)
+SELECT doc_id, n_tok, CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(greatest(s, pack_id * 32) - s AS BIGINT) AS slice_start,
+       CAST(least(s + n_tok, (pack_id + 1) * 32) - greatest(s, pack_id * 32) AS BIGINT) AS slice_len,
+       CAST(greatest(s, pack_id * 32) - pack_id * 32 AS BIGINT) AS pack_offset
+FROM spans
+"""
+
+
 SAMPLE_FRACTIONS = {"en": 0.5, "zh": 0.25, "de": 0.2, "fr": 0.1}
 SAMPLE_SALT = "mix-v1"
 
@@ -1478,6 +1515,7 @@ def queries() -> dict[str, QueryFn]:
         "text_analysis": q_text_analysis,
         "token_stats": q_token_stats,
         "sequence_packing": q_sequence_packing,
+        "sequence_packing_slices": q_sequence_packing_slices,
         "stratified_sample": q_stratified_sample,
         "stream_dedup": q_stream_dedup,
         "stream_windowed_counts": q_stream_windowed_counts,
@@ -1516,6 +1554,7 @@ def oracle_sql() -> dict[str, str]:
         "text_analysis": SQL_TEXT_ANALYSIS,
         "token_stats": _token_stats_sql(),
         "sequence_packing": SQL_SEQUENCE_PACKING,
+        "sequence_packing_slices": SQL_SEQUENCE_PACKING_SLICES,
         "stratified_sample": _stratified_sample_sql(),
         "stream_dedup": SQL_STREAM_DEDUP,
         "stream_windowed_counts": SQL_STREAM_WINDOWED,

@@ -3,7 +3,10 @@ the two-phase prefix sum (operators/packing.py)."""
 
 from pyspark.sql import functions as F
 
-from debezium_connector_cockroachdb_spark.operators.packing import pack_sequences
+from debezium_connector_cockroachdb_spark.operators.packing import (
+    pack_sequences,
+    pack_sequences_slices,
+)
 
 CAP = 64
 
@@ -59,6 +62,78 @@ def test_packing_no_global_single_partition_sort(spark):
 def test_packing_empty_input(spark):
     df = spark.createDataFrame([], "doc_id long, n_tok long")
     assert pack_sequences(df, CAP).count() == 0
+
+
+def _slice_ground_truth(rows):
+    """Sequential fold of boundary-spanning slices."""
+    out, s = [], 0
+    for i, n in sorted(rows):
+        if n == 0:
+            s += n
+            continue
+        for p in range(s // CAP, (s + n - 1) // CAP + 1):
+            g0, g1 = max(s, p * CAP), min(s + n, (p + 1) * CAP)
+            out.append((i, n, p, g0 - s, g1 - g0, g0 - p * CAP))
+        s += n
+    return sorted(out)
+
+
+def test_packing_slices_match_ground_truth_and_reconstruct(spark):
+    # lengths up to 3x capacity so some docs span >2 packs
+    rows = [(i, (i * 53) % (3 * CAP + 10)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = sorted(
+        (r["doc_id"], r["n_tok"], r["pack_id"], r["slice_start"],
+         r["slice_len"], r["pack_offset"])
+        for r in pack_sequences_slices(df, CAP, num_buckets=7).collect()
+    )
+    assert got == _slice_ground_truth(rows)
+    # a document's slices concatenate to exactly [0, n_tok)
+    by_doc = {}
+    for d, n, p, ss, sl, _po in got:
+        by_doc.setdefault((d, n), []).append((p, ss, sl))
+    for (d, n), slices in by_doc.items():
+        slices.sort()
+        assert slices[0][1] == 0
+        pos = 0
+        for _p, ss, sl in slices:
+            assert ss == pos and sl > 0
+            pos += sl
+        assert pos == n
+
+
+def test_packing_slices_full_packs_property(spark):
+    """Every pack except the last is filled to exactly CAP tokens; the
+    last holds the remainder. Zero-length docs emit no slice rows."""
+    rows = [(i, (i * 29) % 150) for i in range(200)]  # includes n_tok=0 docs
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    res = pack_sequences_slices(df, CAP, num_buckets=5).collect()
+    assert all(r["slice_len"] > 0 for r in res)
+    fills = {}
+    for r in res:
+        fills[r["pack_id"]] = fills.get(r["pack_id"], 0) + r["slice_len"]
+    total = sum(n for _, n in rows)
+    last = max(fills)
+    assert set(fills) == set(range(last + 1))  # contiguous pack ids
+    for p, f in fills.items():
+        assert f == CAP if p < last else f == total - last * CAP
+
+
+def test_packing_slices_consistent_with_pack_sequences(spark):
+    """The first slice of every document sits exactly where
+    pack_sequences places the document."""
+    rows = [(i, (i * 17) % 200 + 1) for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    flat = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"])
+        for r in pack_sequences(df, CAP, num_buckets=4).collect()
+    }
+    first_slices = {}
+    for r in pack_sequences_slices(df, CAP, num_buckets=4).collect():
+        cur = first_slices.get(r["doc_id"])
+        if cur is None or r["pack_id"] < cur[0]:
+            first_slices[r["doc_id"]] = (r["pack_id"], r["pack_offset"])
+    assert first_slices == flat
 
 
 def test_packing_property_random_shapes(spark):
