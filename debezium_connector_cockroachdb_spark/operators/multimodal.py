@@ -1,19 +1,23 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The container ships no image/audio codecs, so the *decode kernels* are
-deterministic stubs (clearly marked), but everything Spark-side is real and
-tested: schema, Arrow batch shape, ``mapInPandas`` plumbing, partition
-sizing. Swapping the stub body for PIL/ffmpeg is a one-function change.
-
-Pattern: binary payloads ride in their own column; metadata (mime, width,
-height, duration) is a sibling struct so filters/pruning never touch the
-heavy bytes (parquet column pruning keeps the scan cheap when a query only
+Pattern: binary payloads ride in their own column; metadata (mime,
+n_bytes) is a sibling struct so filters/pruning never touch the heavy
+bytes (parquet column pruning keeps the scan cheap when a query only
 reads metadata — the 100 TB concern).
+
+Decoding is REAL header-only parsing — BMP / PNG / WAV dimensions and
+audio parameters are plain byte arithmetic on the container headers
+(struct.unpack, no codec libraries), dispatched by magic-byte sniffing of
+the payload itself. Full pixel/sample decode would need PIL/ffmpeg (not
+in this container) and is not required for the metadata features this
+operator emits; formats without a recognized header yield null features
+(a real pipeline cannot decode unknown bytes either).
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -38,12 +42,23 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
-FEATURE_SCHEMA = "media_id long, n_bytes int, mime string, width int, height int, checksum string"
+FEATURE_SCHEMA = (
+    "media_id long, n_bytes int, mime string, width int, height int, "
+    "sample_rate int, channels int, checksum string"
+)
+
+# header sizes of the containers the generator emits (and the parsers
+# consume): BMP = 14-byte file header + 40-byte BITMAPINFOHEADER; PNG =
+# 8-byte signature + 25-byte IHDR chunk (4 len + 4 type + 13 data + 4
+# crc); WAV = canonical 44-byte RIFF/fmt/data preamble
+BMP_HEADER = 54
+PNG_HEADER = 33
+WAV_HEADER = 44
 
 
 def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Adapter: treat document text bytes as a fake media payload — gives
-    the multimodal path a deterministic corpus to run on in this sandbox."""
+    """Adapter: treat document text bytes as an opaque media payload —
+    exercises the unknown-format path (no magic bytes → null features)."""
     return df.select(
         F.col(id_col).cast("long").alias("media_id"),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
@@ -54,38 +69,150 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def _decode_stub(payload: bytes | None) -> tuple[int, int]:
-    """STUB — stands in for a real image decode (PIL.Image.open etc., not
-    available in this container). Derives a deterministic fake (width,
-    height) from the payload so tests exercise the full Arrow round-trip.
-    Replace the body with a real decoder in production."""
+def _bmp_payload(doc_id: int, body: bytes) -> bytes:
+    w, h = doc_id % 317 + 1, doc_id % 211 + 1
+    file_size = BMP_HEADER + len(body)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", file_size, 0, 0, BMP_HEADER)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        + body
+    )
+
+
+def _png_payload(doc_id: int, body: bytes) -> bytes:
+    w, h = doc_id % 317 + 1, doc_id % 211 + 1
+    ihdr = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 0])  # depth 8, truecolor
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(">I", 0)
+        + body
+    )
+
+
+def _wav_payload(doc_id: int, body: bytes) -> bytes:
+    channels = doc_id % 2 + 1
+    rate = 8000 + (doc_id % 8) * 1000
+    byte_rate = rate * channels * 2
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate, byte_rate, channels * 2, 16)
+        + b"data" + struct.pack("<I", len(body))
+        + body
+    )
+
+
+_TYPED = [
+    ("image/bmp", _bmp_payload),
+    ("image/png", _png_payload),
+    ("audio/wav", _wav_payload),
+]
+
+
+def documents_as_typed_media(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic typed-media corpus: each document becomes a REAL
+    BMP / PNG / WAV container (by ``doc_id % 3``) whose header fields are
+    pure arithmetic on ``doc_id`` and whose body is the document's UTF-8
+    bytes — so an external oracle can predict every feature
+    :func:`extract_features` parses back out of the bytes. Payload
+    construction is Arrow-batched (generator scaffolding; the engine-side
+    deliverable is the parse direction)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            bodies = pdf[text_col].map(lambda s: (s or "").encode("utf-8"))
+            payloads, mimes = [], []
+            for i, body in zip(ids, bodies):
+                mime, fn = _TYPED[int(i) % 3]
+                payloads.append(fn(int(i), body))
+                mimes.append(mime)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "mime": mimes,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    built = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        build, "media_id long, payload binary, mime string, n_bytes int"
+    )
+    return built.select(
+        "media_id",
+        "payload",
+        F.struct(F.col("mime"), F.col("n_bytes")).alias("meta"),
+    )
+
+
+def decode_header(payload: bytes | None) -> tuple:
+    """Header-only decode by magic-byte sniffing: returns
+    (width, height, sample_rate, channels) with None for fields the
+    format doesn't carry, or all-None for unrecognized/truncated bytes.
+    Pure byte arithmetic — the real decode this container permits."""
     if payload is None:
-        return (0, 0)
-    n = len(payload)
-    return (n % 640 + 1, (n * 7) % 480 + 1)
+        return (None, None, None, None)
+    b = bytes(payload)
+    try:
+        if b[:2] == b"BM" and len(b) >= BMP_HEADER:
+            w, h = struct.unpack_from("<ii", b, 18)
+            return (w, abs(h), None, None)  # negative height = top-down rows
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= PNG_HEADER and b[12:16] == b"IHDR":
+            w, h = struct.unpack_from(">II", b, 16)
+            return (w, h, None, None)
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE" and b[12:16] == b"fmt " and len(b) >= 36:
+            channels, rate = struct.unpack_from("<HI", b, 22)
+            return (None, None, rate, channels)
+    except struct.error:
+        pass
+    return (None, None, None, None)
+
+
+def header_len(payload: bytes | None) -> int:
+    """Bytes consumed by a recognized container header (0 if none) — the
+    body a checksum/feature pass should hash starts here."""
+    if payload is None:
+        return 0
+    b = bytes(payload)
+    if b[:2] == b"BM" and len(b) >= BMP_HEADER:
+        return BMP_HEADER
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= PNG_HEADER:
+        return PNG_HEADER
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE" and len(b) >= WAV_HEADER:
+        return WAV_HEADER
+    return 0
 
 
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """Vectorized feature extraction over media payloads via mapInPandas:
-    Arrow-batched binary columns in, typed features out. The per-batch
-    pandas work is the only Python in the engine's operator set, and it is
-    batch-granular (never per-row dispatch)."""
+    Arrow-batched binary columns in, typed features out. Dimensions /
+    audio parameters are parsed from the payload HEADER BYTES (not read
+    from metadata), so the output verifies the actual container contents;
+    the checksum covers the body after the recognized header (equals the
+    md5 of the original content for the typed generator). Batch-granular
+    — never per-row dispatch through Spark."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
-            dims = pdf["payload"].map(_decode_stub)
+            decoded = pdf["payload"].map(decode_header)
             meta = pd.DataFrame(list(pdf["meta"]))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": meta["n_bytes"].astype("int32"),
                     "mime": meta["mime"],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
+                    "width": pd.array([d[0] for d in decoded], dtype="Int32"),
+                    "height": pd.array([d[1] for d in decoded], dtype="Int32"),
+                    "sample_rate": pd.array([d[2] for d in decoded], dtype="Int32"),
+                    "channels": pd.array([d[3] for d in decoded], dtype="Int32"),
                     "checksum": pdf["payload"].map(
-                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+                        lambda b: hashlib.md5(bytes(b)[header_len(b):]).hexdigest()
+                        if b is not None else None
                     ),
                 }
             )

@@ -1461,16 +1461,27 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim FROM ranked WHE
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
+    """Typed-media round trip: every document becomes a REAL BMP/PNG/WAV
+    container (headers = pure doc_id arithmetic, body = the text bytes);
+    extract_features then parses dimensions / audio params back OUT OF THE
+    BYTES by magic-byte sniffing + struct arithmetic. The oracle predicts
+    each feature from the construction arithmetic, so the gate verifies
+    the full build→parse loop — header fields that merely echoed metadata
+    would pass trivially; these are read at byte offsets."""
+    media = multimodal.documents_as_typed_media(_t(spark, sf_dir, "documents"))
     return multimodal.extract_features(media)
 
 
 SQL_MULTIMODAL_FEATURES = """
 SELECT doc_id AS media_id,
-       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-       'application/octet-stream' AS mime,
-       CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
-       CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
+       CAST(octet_length(encode(text))
+            + CASE doc_id % 3 WHEN 0 THEN 54 WHEN 1 THEN 33 ELSE 44 END AS INT) AS n_bytes,
+       CASE doc_id % 3 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
+            ELSE 'audio/wav' END AS mime,
+       CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(doc_id % 317 + 1 AS INT) END AS width,
+       CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(doc_id % 211 + 1 AS INT) END AS height,
+       CASE WHEN doc_id % 3 = 2 THEN CAST(8000 + (doc_id % 8) * 1000 AS INT) END AS sample_rate,
+       CASE WHEN doc_id % 3 = 2 THEN CAST(doc_id % 2 + 1 AS INT) END AS channels,
        md5(text) AS checksum
 FROM documents
 """

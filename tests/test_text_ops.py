@@ -116,7 +116,52 @@ def test_multimodal_features_roundtrip(spark, docs):
     assert feats[1]["n_bytes"] == len(DOCS[0][1].encode())
     import hashlib
     assert feats[1]["checksum"] == hashlib.md5(DOCS[0][1].encode()).hexdigest()
-    assert 1 <= feats[1]["width"] <= 640 and 1 <= feats[1]["height"] <= 480
+    # opaque bytes carry no recognizable container header → null features
+    assert feats[1]["width"] is None and feats[1]["sample_rate"] is None
+
+
+def test_multimodal_typed_header_decode(spark, docs):
+    """REAL header parsing: the typed generator writes genuine BMP/PNG/WAV
+    containers and extract_features recovers the dimensions / audio params
+    from the BYTES — values must equal the construction arithmetic."""
+    import hashlib
+
+    media = multimodal.documents_as_typed_media(docs)
+    feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    hdr = {0: multimodal.BMP_HEADER, 1: multimodal.PNG_HEADER, 2: multimodal.WAV_HEADER}
+    for i, text in DOCS:
+        f = feats[i]
+        kind = i % 3
+        assert f["n_bytes"] == len(text.encode()) + hdr[kind]
+        assert f["checksum"] == hashlib.md5(text.encode()).hexdigest()
+        if kind in (0, 1):  # BMP / PNG images
+            assert (f["width"], f["height"]) == (i % 317 + 1, i % 211 + 1)
+            assert f["sample_rate"] is None and f["channels"] is None
+            assert f["mime"] == ("image/bmp" if kind == 0 else "image/png")
+        else:  # WAV audio
+            assert (f["sample_rate"], f["channels"]) == (8000 + (i % 8) * 1000, i % 2 + 1)
+            assert f["width"] is None and f["height"] is None
+            assert f["mime"] == "audio/wav"
+
+
+def test_multimodal_decode_header_direct():
+    """Pure byte-level checks, independent of Spark: struct-built headers
+    parse back exactly; truncated/garbage bytes yield all-None."""
+    bmp = multimodal._bmp_payload(100, b"body")
+    assert multimodal.decode_header(bmp) == (100 % 317 + 1, 100 % 211 + 1, None, None)
+    png = multimodal._png_payload(7, b"")
+    assert multimodal.decode_header(png) == (8, 8, None, None)
+    wav = multimodal._wav_payload(5, b"xyz")
+    assert multimodal.decode_header(wav) == (None, None, 8000 + 5 % 8 * 1000, 2)
+    assert multimodal.decode_header(b"BM too short") == (None, None, None, None)
+    assert multimodal.decode_header(b"random bytes here") == (None, None, None, None)
+    assert multimodal.decode_header(None) == (None, None, None, None)
+    # BMP top-down rows store negative height; decode reports magnitude
+    import struct as _s
+
+    td = bytearray(multimodal._bmp_payload(100, b""))
+    td[22:26] = _s.pack("<i", -(100 % 211 + 1))
+    assert multimodal.decode_header(bytes(td))[1] == 100 % 211 + 1
 
 
 def test_frame_sample_plan(spark, docs):
