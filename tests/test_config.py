@@ -250,3 +250,84 @@ def test_kafka_record_mapping_end_to_end(spark):
     assert data["op"] == "c" and data["pk"] == 7 and data["after"]["name"] == "x"
     assert data["commit_wall_ns"] == 1000 and data["table_name"] == "t"
     assert parsed[(43 << 12) + 3]["is_control"]  # tombstone routed as control
+
+
+def test_kafka_soak_surrogate_state_equivalence(spark, tmp_path):
+    """Kafka-mode soak minus the broker: the SAME generated changefeed log
+    (dups, tombstones, resolved rows, mid-stream schema evolution) is
+    replayed twice — once through the parquet streaming source, once
+    re-encoded as binary ConsumerRecord rows through map_kafka_records and
+    applied batch-by-batch — and the final table states must be
+    row-identical under token-array equality. This pins the entire
+    Kafka-mode dataflow (binary key/value decode, millis timestamps,
+    composite-seq fold, parse, dedup, merge, evolution); the only
+    untested residue is the spark-sql-kafka jar itself (absent here)."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_cockroachdb_spark.sources.generator import (
+        GeneratorConfig,
+        seed_table,
+        write_log,
+    )
+    from debezium_connector_cockroachdb_spark.streaming.pipeline import map_kafka_records
+
+    log = str(tmp_path / "log")
+    gcfg = GeneratorConfig(num_keys=60, num_events=1500, resolved_every=200,
+                           n_files=4, dup_pct=5, tombstone_pct=40,
+                           evolve_at=700, hot_key_pct=10)
+    write_log(spark, gcfg, log)
+
+    def run_parquet():
+        icfg = IngestConfig(log_dir=log, table_path=str(tmp_path / "t_parquet"),
+                            checkpoint_dir=str(tmp_path / "ckpt"),
+                            num_buckets=8, max_files_per_trigger=2,
+                            collect_metrics=False)
+        pipe = CDCPipeline(spark, icfg)
+        pipe.run_to_completion(seed_df=seed_table(spark, gcfg))
+        return pipe
+
+    def run_kafka_shaped():
+        # re-encode the log as ConsumerRecord rows: binary key/value,
+        # timestamp-typed, per-record (partition, offset) — the global log
+        # offset is a valid Kafka offset (monotone, < 2^51), and the
+        # composite fold keeps the total order because the offset occupies
+        # the high bits
+        consumer_shaped = spark.read.parquet(log).select(
+            "topic", "partition", "offset",
+            F.timestamp_millis(F.col("ts_ms")).alias("timestamp"),
+            F.col("key").cast("binary").alias("key"),
+            F.col("value").cast("binary").alias("value"),
+        )
+        mapped = map_kafka_records(consumer_shaped)
+        icfg = IngestConfig(log_dir=log, table_path=str(tmp_path / "t_kafka"),
+                            num_buckets=8, collect_metrics=False)
+        pipe = CDCPipeline(spark, icfg)
+        pipe.run_snapshot(seed_table(spark, gcfg))
+        # three micro-batches split on the raw offset ranges (batch
+        # boundaries deliberately differ from the parquet path's
+        # file-count trigger — state equivalence must not depend on them).
+        # Bounds come from the actual log extent: dups/tombstones/resolved
+        # rows get offsets past num_events.
+        max_off = spark.read.parquet(log).agg(F.max("offset")).first()[0]
+        step = max_off // 3 + 1
+        bounds = [0, step, 2 * step, max_off + 1]
+        for i in range(3):
+            batch = mapped.filter(
+                (F.col("offset") >= (bounds[i] << 12))
+                & (F.col("offset") < (bounds[i + 1] << 12))
+            )
+            pipe.process_batch(batch, batch_id=i)
+        return pipe
+
+    a = run_parquet()
+    b = run_kafka_shaped()
+    cols = [f.name for f in a.table.schema.fields]
+    rows_a = sorted(
+        tuple(tuple(v) if isinstance(v, list) else v for v in r)
+        for r in a.read_state().select(*cols).collect()
+    )
+    rows_b = sorted(
+        tuple(tuple(v) if isinstance(v, list) else v for v in r)
+        for r in b.read_state().select(*cols).collect()
+    )
+    assert rows_a and rows_a == rows_b
