@@ -53,6 +53,9 @@ def build_spark(cpus: int):
     from debezium_connector_cockroachdb_spark.session import build_session
 
     extra = {"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "48g")}
+    # BENCH_EXTRA_CONF: JSON dict of additional spark confs (codec A/Bs,
+    # shuffle tuning experiments) applied identically at every level
+    extra.update(json.loads(os.environ.get("BENCH_EXTRA_CONF", "{}")))
     if USE_TMPFS:
         os.makedirs(f"{SCRATCH}/local", exist_ok=True)
         extra["spark.local.dir"] = f"{SCRATCH}/local"
@@ -115,6 +118,9 @@ def bench_cdc_apply(spark) -> tuple[float, dict]:
         collect_metrics=True,
         merge_mode=MERGE_MODE,
         mor_skip_batch_dedup=bool(os.environ.get("BENCH_MOR_NODEDUP")),
+        # compaction-cadence A/B: ratio 0 reproduces the pure file-count
+        # trigger (compaction storm mode), default 0.2 is the shipped policy
+        mor_compact_min_delta_ratio=float(os.environ.get("BENCH_MOR_RATIO", "0.2")),
     )
     pipe = CDCPipeline(spark, icfg)
     t0 = time.time()
@@ -125,7 +131,8 @@ def bench_cdc_apply(spark) -> tuple[float, dict]:
     n_state = pipe.read_state().count()
     if os.environ.get("BENCH_DEBUG"):
         pipe.read_metrics().orderBy("batch_id").select(
-            "batch_id", "phase", "n_raw", "n_updates", "touched_buckets", "wall_ms"
+            "batch_id", "phase", "n_raw", "n_updates", "touched_buckets",
+            "compact_secs", "wall_ms"
         ).show(30, truncate=False)
     shutil.rmtree(run_dir, ignore_errors=True)
     return dt, {

@@ -37,7 +37,15 @@ def build_session(
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.parquet.compression.codec", "snappy")
+        # zstd for table/staging parquet AND shuffle/spill blocks: the CDC
+        # apply path is write-bandwidth-bound (every micro-batch stages its
+        # update rows and appends delta files), and zstd moves ~30% fewer
+        # bytes than snappy/lz4 for a small CPU premium — measured +10%
+        # apply throughput at the bandwidth-bound parallelism level
+        # (BENCH/BASELINE.md round-4 A/B); the standard trade on real
+        # clusters where network/disk, not CPU, bounds ingest
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )

@@ -218,6 +218,30 @@ class SnapshotTable:
     def max_deltas_per_bucket(self) -> int:
         return int(self.meta.get("properties", {}).get("mor.max-deltas-per-bucket", "8"))
 
+    @property
+    def compact_min_delta_ratio(self) -> float:
+        """Size-ratio gate on MoR auto-compaction (LSM-style): a bucket
+        past the file-count trigger only compacts once its delta ROWS
+        reach this fraction of its base rows. Without it, steady
+        micro-batches that touch every bucket force a full-table rewrite
+        every ``max_deltas_per_bucket`` batches — at 10^10 rows with 1%
+        updates per batch that is ~12x write amplification (a compaction
+        storm); with the ratio gate each compaction rewrites at most
+        (1 + 1/ratio) bytes per delta byte folded in, so write
+        amplification stays bounded as the table grows."""
+        return float(self.meta.get("properties", {}).get("mor.compact-min-delta-ratio", "0.2"))
+
+    @property
+    def hard_max_deltas_per_bucket(self) -> int:
+        """Read-health bound: a bucket exceeding this many delta files
+        compacts regardless of the size ratio (every reader of the bucket
+        pays per-file open + arg-max fan-in)."""
+        return int(
+            self.meta.get("properties", {}).get(
+                "mor.hard-max-deltas-per-bucket", str(8 * self.max_deltas_per_bucket)
+            )
+        )
+
     def _read_files(self, spark: SparkSession, files: list[dict[str, Any]]) -> DataFrame:
         """Read a set of data files, aligning every schema version to the
         current one (null-fill added columns, cast widened columns)."""
@@ -516,18 +540,47 @@ class SnapshotTable:
                            "committed_at": time.time()}
         self._write_version(meta)
 
-        # auto-compaction: buckets whose delta pile exceeds the threshold
-        # collapse back to a single base file (separate commit — readers of
-        # the prior snapshot are unaffected)
-        per_bucket: dict[int, int] = {}
-        for fe in meta["files"]:
-            if fe.get("kind") == "delta":
-                per_bucket[fe["bucket"]] = per_bucket.get(fe["bucket"], 0) + 1
-        to_compact = sorted(b for b, n in per_bucket.items() if n > self.max_deltas_per_bucket)
+        # auto-compaction: a bucket compacts when its delta FILE count
+        # passes the soft trigger AND its delta ROWS reach
+        # compact_min_delta_ratio of its base rows (LSM-style size-ratio —
+        # see the property docstrings: the file trigger alone forces a
+        # full-table rewrite every max_deltas batches once steady
+        # micro-batches touch every bucket), or unconditionally at the
+        # hard file cap (read health). Manifests written before row counts
+        # existed fall back to the file trigger alone.
+        to_compact = self._compaction_victims(meta["files"])
         if to_compact:
             stats["compacted_buckets"] = len(to_compact)
+            t0 = time.time()
             self.compact(spark, to_compact)
+            stats["compact_secs"] = round(time.time() - t0, 3)
         return {"skipped": False, "batch_key": batch_key, "version": self.meta["version"], **stats}
+
+    def _compaction_victims(self, files: list[dict[str, Any]]) -> list[int]:
+        d_files: dict[int, int] = {}
+        d_rows: dict[int, int] = {}
+        b_rows: dict[int, int] = {}
+        rows_known = True
+        for fe in files:
+            b = fe["bucket"]
+            if "rows" not in fe:
+                rows_known = False
+            if fe.get("kind") == "delta":
+                d_files[b] = d_files.get(b, 0) + 1
+                d_rows[b] = d_rows.get(b, 0) + fe.get("rows", 0)
+            else:
+                b_rows[b] = b_rows.get(b, 0) + fe.get("rows", 0)
+        soft, hard = self.max_deltas_per_bucket, self.hard_max_deltas_per_bucket
+        ratio = self.compact_min_delta_ratio
+        out = []
+        for b, n in d_files.items():
+            if n <= soft:
+                continue
+            if n > hard or not rows_known:
+                out.append(b)
+            elif d_rows.get(b, 0) >= ratio * b_rows.get(b, 0):
+                out.append(b)
+        return sorted(out)
 
     def compact(self, spark: SparkSession, buckets: list[int] | None = None) -> dict[str, Any]:
         """Collapse base+delta files of the given buckets (default: every
@@ -827,6 +880,10 @@ def _collect_data_files(
         fe: dict[str, Any] = {
             "path": f"{rel_dir}/{os.path.relpath(e['path'], out_dir)}",
             "bucket": e["bucket"], "schema_id": sid,
+            # per-file row count from the same footer pass — drives the
+            # size-ratio compaction policy without any extra I/O (the
+            # Iceberg manifest record_count analogue)
+            "rows": e["rows"],
         }
         if kind:
             fe["kind"] = kind

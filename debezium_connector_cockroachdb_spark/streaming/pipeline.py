@@ -57,6 +57,7 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("touched_buckets", T.LongType(), True),
         T.StructField("frontier_hlc", T.StringType(), True),
         T.StructField("skipped_replay", T.BooleanType(), True),
+        T.StructField("compact_secs", T.DoubleType(), True),
         T.StructField("wall_ms", T.DoubleType(), True),
         T.StructField("committed_at", T.DoubleType(), True),
     ]
@@ -89,6 +90,11 @@ class IngestConfig:
     errors_path: str | None = None  # dead-letter quarantine for poison events (X3)
     merge_mode: str = "cow"  # "cow" (read-optimized) | "mor" (write-optimized)
     mor_max_deltas_per_bucket: int = 8
+    # size-ratio gate + hard file cap on MoR auto-compaction (see
+    # lake.SnapshotTable.compact_min_delta_ratio / hard_max_deltas_per_bucket;
+    # ratio 0 reproduces the pure file-count trigger)
+    mor_compact_min_delta_ratio: float = 0.2
+    mor_hard_max_deltas_per_bucket: int | None = None
     # MoR only: skip the per-batch last-writer-wins entirely — read-time
     # arg-max resolves intra-batch duplicates/ordering identically, so the
     # write path becomes a pure parse→delta-write with NO join and NO
@@ -252,6 +258,12 @@ class CDCPipeline:
                 properties={
                     "write.merge.mode": cfg.merge_mode,
                     "mor.max-deltas-per-bucket": str(cfg.mor_max_deltas_per_bucket),
+                    "mor.compact-min-delta-ratio": str(cfg.mor_compact_min_delta_ratio),
+                    "mor.hard-max-deltas-per-bucket": str(
+                        cfg.mor_hard_max_deltas_per_bucket
+                        if cfg.mor_hard_max_deltas_per_bucket is not None
+                        else 8 * cfg.mor_max_deltas_per_bucket
+                    ),
                 },
             )
 
@@ -672,6 +684,8 @@ class CDCPipeline:
             if stats.get(k) is not None:
                 row[k] = int(stats[k])
         row["frontier_hlc"] = stats.get("frontier_hlc")
+        if stats.get("compact_secs") is not None:
+            row["compact_secs"] = float(stats["compact_secs"])
         row["wall_ms"] = extra.get("wall_ms")
         # written driver-side with pyarrow: a lineage row must not cost a
         # Spark job per micro-batch (it did — ~0.5s of the batch floor)

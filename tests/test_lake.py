@@ -481,3 +481,44 @@ def test_table_changes_prunes_unchanged_buckets(spark, tmp_table_dir):
         bucket = int([p for p in rel.split(os.sep) if p.startswith("_bucket=")][0].split("=")[1])
         assert bucket in changed_buckets, f"scanned unchanged bucket {bucket}: {rel}"
     assert len(cdf.inputFiles()) < 16  # far fewer files than a full x2 scan
+
+
+def test_compaction_cadence_policy(tmp_path):
+    """Size-ratio cadence: past the soft file trigger a bucket compacts
+    only when its delta rows reach the configured fraction of its base
+    rows (the file trigger alone would rewrite a 10^10-row table every
+    max_deltas batches — a compaction storm); the hard file cap forces
+    compaction regardless (read health); manifests without row counts
+    fall back to the file trigger."""
+    t = SnapshotTable.create(
+        str(tmp_path / "pol"), T.StructType([T.StructField("k", T.StringType())]), "k",
+        num_buckets=4,
+        properties={"write.merge.mode": "mor", "mor.max-deltas-per-bucket": "2",
+                    "mor.compact-min-delta-ratio": "0.2",
+                    "mor.hard-max-deltas-per-bucket": "5"},
+    )
+
+    def files(bucket, base_rows, delta_rows_list, with_rows=True):
+        out = [{"path": f"data/v0/b{bucket}", "bucket": bucket, "schema_id": 0}]
+        if with_rows:
+            out[0]["rows"] = base_rows
+        for i, r in enumerate(delta_rows_list):
+            fe = {"path": f"data/v{i+1}/b{bucket}", "bucket": bucket,
+                  "schema_id": 0, "kind": "delta"}
+            if with_rows:
+                fe["rows"] = r
+            out.append(fe)
+        return out
+
+    # 3 tiny deltas on a huge base: past soft trigger (2) but ratio defers
+    assert t._compaction_victims(files(0, 10_000, [5, 5, 5])) == []
+    # same file count, delta rows reach 20% of base -> compacts
+    assert t._compaction_victims(files(1, 100, [10, 10, 5])) == [1]
+    # hard cap: 6 tiny deltas compact regardless of ratio
+    assert t._compaction_victims(files(2, 10_000, [1] * 6)) == [2]
+    # no base rows at all -> ratio trivially satisfied
+    assert t._compaction_victims(files(3, 0, [1, 1, 1])[1:]) == [3]
+    # legacy manifest without row counts -> file-count trigger alone
+    assert t._compaction_victims(files(0, 10_000, [5, 5, 5], with_rows=False)) == [0]
+    # at-or-below soft trigger never compacts
+    assert t._compaction_victims(files(1, 100, [50, 50])) == []
