@@ -171,3 +171,41 @@ def pack_sequences_slices(
             (g0 - F.col("pack_id") * cap).cast("long").alias("pack_offset"),
         )
     )
+
+
+def assemble_packs(
+    slices: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pack assembly: fold the slice rows of :func:`pack_sequences_slices`
+    into one row per pack — the ordered segment lists a packed-batch
+    dataloader consumes directly (``pack_offsets``/``slice_lens`` ARE the
+    block-diagonal attention-mask spec: token t attends within the segment
+    whose [offset, offset+len) contains t; ``doc_ids``/``slice_starts``
+    say which document range fills each segment).
+
+    Output per pack: ``pack_id``, ``n_slices``, ``n_tokens``, and the
+    four parallel arrays ordered by ``pack_offset``.
+
+    Scale shape: ONE shuffle on ``pack_id`` (uniform by construction —
+    packs are fixed-capacity), and the aggregation buffer is bounded by
+    ``capacity`` entries per pack (every slice holds ≥1 token), so no
+    group can outgrow a constant regardless of corpus size."""
+    seg = F.struct(
+        F.col("pack_offset"), F.col(id_col), F.col("slice_start"), F.col("slice_len")
+    )
+    return (
+        slices.groupBy("pack_id")
+        .agg(F.sort_array(F.collect_list(seg)).alias("_segs"))
+        .select(
+            "pack_id",
+            F.size("_segs").alias("n_slices"),
+            F.aggregate(
+                "_segs", F.lit(0).cast("long"), lambda a, s: a + s["slice_len"]
+            ).alias("n_tokens"),
+            F.transform("_segs", lambda s: s[id_col]).alias("doc_ids"),
+            F.transform("_segs", lambda s: s["pack_offset"]).alias("pack_offsets"),
+            F.transform("_segs", lambda s: s["slice_start"]).alias("slice_starts"),
+            F.transform("_segs", lambda s: s["slice_len"]).alias("slice_lens"),
+        )
+    )

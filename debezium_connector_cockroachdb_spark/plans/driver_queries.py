@@ -1052,6 +1052,63 @@ FROM spans
 """
 
 
+def q_pack_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack assembly (the dataloader-facing fold of the slice rows): one
+    row per pack with the segment lists ordered by pack_offset — the
+    block-diagonal attention-mask spec. Arrays fold to md5(to_json(...))
+    for the driver's canonicalizer; the oracle reproduces them with
+    ordered DuckDB list() aggregates over the same cumsum spans."""
+    from ..operators.packing import assemble_packs, pack_sequences_slices
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    packs = assemble_packs(pack_sequences_slices(d, capacity=32))
+    return packs.select(
+        "pack_id",
+        "n_slices",
+        "n_tokens",
+        F.md5(F.to_json("doc_ids")).alias("doc_ids_md5"),
+        F.md5(F.to_json("pack_offsets")).alias("pack_offsets_md5"),
+        F.md5(F.to_json("slice_starts")).alias("slice_starts_md5"),
+        F.md5(F.to_json("slice_lens")).alias("slice_lens_md5"),
+    )
+
+
+SQL_PACK_ASSEMBLY = """
+WITH lens AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+  FROM lens
+), spans AS (
+  SELECT doc_id, n_tok, s,
+         unnest(generate_series(s // 32, (s + n_tok - 1) // 32)) AS pack_id
+  FROM c WHERE n_tok > 0
+), sl AS (
+  SELECT doc_id, CAST(pack_id AS BIGINT) AS pack_id,
+         CAST(greatest(s, pack_id * 32) - s AS BIGINT) AS slice_start,
+         CAST(least(s + n_tok, (pack_id + 1) * 32) - greatest(s, pack_id * 32) AS BIGINT) AS slice_len,
+         CAST(greatest(s, pack_id * 32) - pack_id * 32 AS BIGINT) AS pack_offset
+  FROM spans
+)
+SELECT pack_id,
+       CAST(count(*) AS INT) AS n_slices,
+       CAST(sum(slice_len) AS BIGINT) AS n_tokens,
+       md5(CAST(to_json(list(doc_id ORDER BY pack_offset)) AS VARCHAR)) AS doc_ids_md5,
+       md5(CAST(to_json(list(pack_offset ORDER BY pack_offset)) AS VARCHAR)) AS pack_offsets_md5,
+       md5(CAST(to_json(list(slice_start ORDER BY pack_offset)) AS VARCHAR)) AS slice_starts_md5,
+       md5(CAST(to_json(list(slice_len ORDER BY pack_offset)) AS VARCHAR)) AS slice_lens_md5
+FROM sl
+GROUP BY pack_id
+"""
+
+
 SAMPLE_FRACTIONS = {"en": 0.5, "zh": 0.25, "de": 0.2, "fr": 0.1}
 SAMPLE_SALT = "mix-v1"
 
@@ -1527,6 +1584,7 @@ def queries() -> dict[str, QueryFn]:
         "token_stats": q_token_stats,
         "sequence_packing": q_sequence_packing,
         "sequence_packing_slices": q_sequence_packing_slices,
+        "pack_assembly": q_pack_assembly,
         "stratified_sample": q_stratified_sample,
         "stream_dedup": q_stream_dedup,
         "stream_windowed_counts": q_stream_windowed_counts,
@@ -1566,6 +1624,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": _token_stats_sql(),
         "sequence_packing": SQL_SEQUENCE_PACKING,
         "sequence_packing_slices": SQL_SEQUENCE_PACKING_SLICES,
+        "pack_assembly": SQL_PACK_ASSEMBLY,
         "stratified_sample": _stratified_sample_sql(),
         "stream_dedup": SQL_STREAM_DEDUP,
         "stream_windowed_counts": SQL_STREAM_WINDOWED,

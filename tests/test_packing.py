@@ -161,3 +161,34 @@ def test_packing_property_random_shapes(spark):
         assert got == _ground_truth(rows)
 
     check()
+
+
+def test_assemble_packs_segments(spark):
+    """Per-pack assembly: segments ordered by pack_offset, contiguous
+    (offset[i+1] = offset[i] + len[i], starting at 0), summing to CAP for
+    every pack except the last — the block-diagonal attention-mask
+    contract a packed dataloader relies on."""
+    from debezium_connector_cockroachdb_spark.operators.packing import assemble_packs
+
+    rows = [(i, (i * 53) % (2 * CAP + 20) + 1) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    packs = {r["pack_id"]: r for r in
+             assemble_packs(pack_sequences_slices(df, CAP, num_buckets=6)).collect()}
+    total = sum(n for _, n in rows)
+    last = max(packs)
+    assert set(packs) == set(range(last + 1))
+    for p, r in packs.items():
+        assert r["n_slices"] == len(r["doc_ids"]) == len(r["slice_lens"])
+        assert r["pack_offsets"][0] == 0
+        for i in range(r["n_slices"] - 1):
+            assert r["pack_offsets"][i + 1] == r["pack_offsets"][i] + r["slice_lens"][i]
+        assert r["n_tokens"] == sum(r["slice_lens"])
+        assert r["n_tokens"] == (CAP if p < last else total - last * CAP)
+    # cross-check doc ranges: slice_starts/lens of one doc cover [0, n_tok)
+    seen = {}
+    for r in packs.values():
+        for d, ss, sl in zip(r["doc_ids"], r["slice_starts"], r["slice_lens"]):
+            seen.setdefault(d, []).append((ss, sl))
+    for d, n in rows:
+        segs = sorted(seen[d])
+        assert segs[0][0] == 0 and sum(sl for _, sl in segs) == n
