@@ -157,6 +157,7 @@ OPERATOR_BENCH = [
     "ann_cosine_topk_lsh",
     "ngram_jaccard",
     "sequence_packing",
+    "pack_assembly",
     "embedding_neardup",
     "stream_dedup",
 ]
