@@ -156,3 +156,36 @@ def test_mor_read_resolution_never_aggregates_payload(spark, tmp_path):
         if "Functions" in line:
             assert "tokens" not in line, f"payload-wide aggregate: {line}"
     assert "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_slices_add_no_shuffle_and_assembly_adds_one(spark):
+    """pack_sequences_slices must add ZERO exchanges over pack_sequences'
+    prefix-sum plan (the span explode is map-side arithmetic), and
+    assemble_packs exactly ONE more (the pack_id fold), with no
+    single-partition stage anywhere."""
+    from debezium_connector_cockroachdb_spark.operators.packing import (
+        assemble_packs,
+        pack_sequences,
+        pack_sequences_slices,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 53) % 150 + 1) for i in range(200)], "doc_id long, n_tok long"
+    )
+    p_flat = plan_of(pack_sequences(df, 64, num_buckets=8))
+    p_slices = plan_of(pack_sequences_slices(df, 64, num_buckets=8))
+    p_asm = plan_of(assemble_packs(pack_sequences_slices(df, 64, num_buckets=8)))
+    import re
+
+    def shuffles(p: str) -> int:
+        # tree nodes like "Exchange (17)"; excludes BroadcastExchange and
+        # the duplicate "(17) Exchange" detail headers
+        return len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", p))
+
+    for p in (p_flat, p_slices, p_asm):
+        assert "SinglePartition" not in p
+    assert shuffles(p_slices) == shuffles(p_flat)
+    assert shuffles(p_asm) == shuffles(p_slices) + 1
+    # the fold is a partial-aggregated collect (map-side pre-grouping),
+    # not a window sort over the whole slice set
+    assert "Window" not in p_asm
