@@ -187,5 +187,6 @@ def test_slices_add_no_shuffle_and_assembly_adds_one(spark):
     assert shuffles(p_slices) == shuffles(p_flat)
     assert shuffles(p_asm) == shuffles(p_slices) + 1
     # the fold is a partial-aggregated collect (map-side pre-grouping),
-    # not a window sort over the whole slice set
-    assert "Window" not in p_asm
+    # not an ADDITIONAL window sort — the only Window is the prefix sum's
+    # own bucket-local one, inherited unchanged from the slices plan
+    assert p_asm.count("Window") == p_slices.count("Window")
