@@ -108,11 +108,12 @@ class IngestConfig:
     #   scans the raw after-image keys; unknown fields not in the registry
     #   fail the batch retriably (dbz#2322). ~10x parse-cost overhead.
     drift_mode: str = "poll"
-    # source format: "parquet" replay log (default) or "kafka" (the
-    # reference's S3 consumer path — requires the spark-sql-kafka package
-    # on the classpath, which this image does not ship; options pass
-    # through, e.g. {"kafka.bootstrap.servers": ..., "subscribe": ...,
-    # "kafka.ssl.*": ...} — the X6 security passthrough)
+    # source format: "parquet" replay log (default), "json" (JSONL records
+    # with the same RAW_LOG_SCHEMA — the reference's native wire shape),
+    # or "kafka" (the reference's S3 consumer path — requires the
+    # spark-sql-kafka package on the classpath, which this image does not
+    # ship; options pass through, e.g. {"kafka.bootstrap.servers": ...,
+    # "subscribe": ..., "kafka.ssl.*": ...} — the X6 security passthrough)
     source_format: str = "parquet"
     source_options: dict[str, str] = field(default_factory=dict)
     # snapshot.mode="custom": pluggable snapshotter producing the initial-
@@ -573,6 +574,15 @@ class CDCPipeline:
             reader = reader.option("maxFilesPerTrigger", self.cfg.max_files_per_trigger)
         for k, v in self.cfg.source_options.items():
             reader = reader.option(k, v)
+        if self.cfg.source_format == "json":
+            # JSONL replay: same record schema, text wire format (the
+            # envelope rides as an escaped string in `value`, exactly the
+            # reference's native shape). The log's `_schema` registry is
+            # invisible to the source by Spark's underscore-prefix
+            # convention for metadata paths.
+            return reader.json(self.cfg.log_dir)
+        if self.cfg.source_format != "parquet":
+            raise ValueError(f"unknown source_format {self.cfg.source_format!r}")
         return reader.parquet(self.cfg.log_dir)
 
     def _heartbeat(self) -> None:

@@ -331,3 +331,53 @@ def test_kafka_soak_surrogate_state_equivalence(spark, tmp_path):
         for r in b.read_state().select(*cols).collect()
     )
     assert rows_a and rows_a == rows_b
+
+
+def test_json_source_format_state_equivalence(spark, tmp_path):
+    """source_format='json': the same log serialized as JSONL (the
+    reference's native wire shape — envelope as an escaped string in
+    `value`) must replay to the identical final state as the parquet
+    source, including the registry-driven schema evolution (the `_schema`
+    dir is invisible to the source by the underscore convention)."""
+    import shutil
+
+    from debezium_connector_cockroachdb_spark.sources.generator import (
+        GeneratorConfig,
+        seed_table,
+        write_log,
+    )
+
+    log = str(tmp_path / "log")
+    gcfg = GeneratorConfig(num_keys=40, num_events=800, resolved_every=150,
+                           n_files=3, dup_pct=5, tombstone_pct=40, evolve_at=400)
+    write_log(spark, gcfg, log)
+
+    jlog = str(tmp_path / "jlog")
+    spark.read.parquet(log).write.json(jlog)
+    shutil.copytree(f"{log}/_schema", f"{jlog}/_schema")
+
+    states = {}
+    for fmt, src in (("parquet", log), ("json", jlog)):
+        icfg = IngestConfig(log_dir=src, table_path=str(tmp_path / f"t_{fmt}"),
+                            checkpoint_dir=str(tmp_path / f"ckpt_{fmt}"),
+                            num_buckets=8, max_files_per_trigger=2,
+                            source_format=fmt, collect_metrics=False)
+        pipe = CDCPipeline(spark, icfg)
+        pipe.run_to_completion(seed_df=seed_table(spark, gcfg))
+        cols = [f.name for f in pipe.table.schema.fields]
+        states[fmt] = sorted(
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in pipe.read_state().select(*cols).collect()
+        )
+    assert states["parquet"] and states["parquet"] == states["json"]
+
+
+def test_unknown_source_format_rejected(spark, tmp_path):
+    from debezium_connector_cockroachdb_spark.sources.generator import GeneratorConfig, write_log
+
+    log = str(tmp_path / "log")
+    write_log(spark, GeneratorConfig(num_keys=5, num_events=20, n_files=1), log)
+    icfg = IngestConfig(log_dir=log, table_path=str(tmp_path / "t"),
+                        checkpoint_dir=str(tmp_path / "c"), source_format="csv")
+    with pytest.raises(ValueError, match="source_format"):
+        CDCPipeline(spark, icfg).start_stream(available_now=True)
