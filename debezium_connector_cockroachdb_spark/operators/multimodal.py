@@ -148,6 +148,21 @@ def documents_as_typed_media(
     )
 
 
+def _sniff(b: bytes) -> tuple[str | None, int]:
+    """ONE recognition predicate shared by decode and checksum: (kind,
+    header_len), or (None, 0). Keeping a single sniffer guarantees the
+    parsed features and the body checksum always agree on whether — and
+    where — a header was recognized (divergent predicates would silently
+    hash header bytes or drop body bytes on edge-length payloads)."""
+    if b[:2] == b"BM" and len(b) >= BMP_HEADER:
+        return ("bmp", BMP_HEADER)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= PNG_HEADER and b[12:16] == b"IHDR":
+        return ("png", PNG_HEADER)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE" and b[12:16] == b"fmt " and len(b) >= WAV_HEADER:
+        return ("wav", WAV_HEADER)
+    return (None, 0)
+
+
 def decode_header(payload: bytes | None) -> tuple:
     """Header-only decode by magic-byte sniffing: returns
     (width, height, sample_rate, channels) with None for fields the
@@ -156,14 +171,15 @@ def decode_header(payload: bytes | None) -> tuple:
     if payload is None:
         return (None, None, None, None)
     b = bytes(payload)
+    kind, _hl = _sniff(b)
     try:
-        if b[:2] == b"BM" and len(b) >= BMP_HEADER:
+        if kind == "bmp":
             w, h = struct.unpack_from("<ii", b, 18)
             return (w, abs(h), None, None)  # negative height = top-down rows
-        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= PNG_HEADER and b[12:16] == b"IHDR":
+        if kind == "png":
             w, h = struct.unpack_from(">II", b, 16)
             return (w, h, None, None)
-        if b[:4] == b"RIFF" and b[8:12] == b"WAVE" and b[12:16] == b"fmt " and len(b) >= 36:
+        if kind == "wav":
             channels, rate = struct.unpack_from("<HI", b, 22)
             return (None, None, rate, channels)
     except struct.error:
@@ -173,17 +189,11 @@ def decode_header(payload: bytes | None) -> tuple:
 
 def header_len(payload: bytes | None) -> int:
     """Bytes consumed by a recognized container header (0 if none) — the
-    body a checksum/feature pass should hash starts here."""
+    body a checksum/feature pass should hash starts here. Same sniffer as
+    decode_header by construction."""
     if payload is None:
         return 0
-    b = bytes(payload)
-    if b[:2] == b"BM" and len(b) >= BMP_HEADER:
-        return BMP_HEADER
-    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= PNG_HEADER:
-        return PNG_HEADER
-    if b[:4] == b"RIFF" and b[8:12] == b"WAVE" and len(b) >= WAV_HEADER:
-        return WAV_HEADER
-    return 0
+    return _sniff(bytes(payload))[1]
 
 
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:

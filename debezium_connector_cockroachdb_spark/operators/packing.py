@@ -152,12 +152,16 @@ def pack_sequences_slices(
                 f"slice_len long, pack_offset long"
         )
     cap = int(capacity)
+    # exact long div via the fixed internal aliases only — interpolating
+    # len_col into an expr string would mis-parse non-identifier column
+    # names ("n-tok", reserved words) that F.col handles fine
     first = F.expr(f"_start div {cap}")
-    last = F.expr(f"(_start + {len_col} - 1) div {cap}")
+    last = F.expr(f"_last_tok div {cap}")
     g0 = F.greatest(F.col("_start"), F.col("pack_id") * cap)
     g1 = F.least(F.col("_start") + F.col(len_col), (F.col("pack_id") + 1) * cap)
     return (
         starts.filter(F.col(len_col) > 0)
+        .withColumn("_last_tok", F.col("_start") + F.col(len_col) - F.lit(1))
         .select(
             id_col, len_col, "_start",
             F.explode(F.sequence(first, last)).alias("pack_id"),

@@ -560,11 +560,15 @@ class SnapshotTable:
         d_files: dict[int, int] = {}
         d_rows: dict[int, int] = {}
         b_rows: dict[int, int] = {}
-        rows_known = True
+        # legacy fallback is PER BUCKET: only a bucket whose own entries
+        # predate manifest row counts loses the ratio gate — a single
+        # never-rewritten legacy file elsewhere must not reinstate the
+        # full-table compaction storm for every other bucket
+        rows_known: dict[int, bool] = {}
         for fe in files:
             b = fe["bucket"]
             if "rows" not in fe:
-                rows_known = False
+                rows_known[b] = False
             if fe.get("kind") == "delta":
                 d_files[b] = d_files.get(b, 0) + 1
                 d_rows[b] = d_rows.get(b, 0) + fe.get("rows", 0)
@@ -576,7 +580,7 @@ class SnapshotTable:
         for b, n in d_files.items():
             if n <= soft:
                 continue
-            if n > hard or not rows_known:
+            if n > hard or not rows_known.get(b, True):
                 out.append(b)
             elif d_rows.get(b, 0) >= ratio * b_rows.get(b, 0):
                 out.append(b)

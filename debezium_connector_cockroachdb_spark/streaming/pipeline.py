@@ -342,9 +342,16 @@ class CDCPipeline:
             # poison offsets for the quarantine path (X3): longs only —
             # even a fully-poisoned 10^7-row batch collects ~80 MB once,
             # and the dead-letter write then needs NO second parse (it
-            # filters the raw batch by offset)
-            F.collect_list(F.when(F.col("is_malformed"), F.col("seq"))).alias("bad_seqs"),
+            # filters the raw batch by offset). Collected only when a
+            # dead-letter table is configured — otherwise the list could
+            # never be consumed (same gating pattern as key_sets above).
+            self._bad_seqs_agg().alias("bad_seqs"),
         ).collect()[0]
+
+    def _bad_seqs_agg(self):
+        if self.cfg.errors_path:
+            return F.collect_list(F.when(F.col("is_malformed"), F.col("seq")))
+        return F.first(F.lit(None).cast("long"), ignorenulls=True)
 
     def process_batch(self, raw: DataFrame, batch_id: int) -> dict[str, Any]:
         # NOTE deliberately NO .persist() on the parsed batch: Spark's
@@ -406,9 +413,10 @@ class CDCPipeline:
                         + hlc_logical(F.col("resolved")).cast("decimal(38,0)"),
                     )
                 ).alias("fr_enc"),
-                # poison offsets (X3) — see _batch_agg: rides THE one parse
-                # pass so the quarantine write never re-parses the batch
-                F.collect_list(F.when(F.col("is_malformed"), F.col("seq"))).alias("bad_seqs"),
+                # poison offsets (X3) — see _bad_seqs_agg: rides THE one
+                # parse pass so the quarantine write never re-parses the
+                # batch; a no-op when no dead-letter table is configured
+                self._bad_seqs_agg().alias("bad_seqs"),
             )
 
         # keyless rows (no after image, no usable message key) can never be

@@ -522,3 +522,33 @@ def test_compaction_cadence_policy(tmp_path):
     assert t._compaction_victims(files(0, 10_000, [5, 5, 5], with_rows=False)) == [0]
     # at-or-below soft trigger never compacts
     assert t._compaction_victims(files(1, 100, [50, 50])) == []
+
+
+def test_compaction_legacy_fallback_is_per_bucket(tmp_path):
+    """A single legacy (rows-less) file entry in one bucket must not
+    disable the ratio gate for OTHER buckets — that would silently
+    reinstate the full-table compaction storm on any pre-upgrade table."""
+    t = SnapshotTable.create(
+        str(tmp_path / "pb"), T.StructType([T.StructField("k", T.StringType())]), "k",
+        num_buckets=4,
+        properties={"write.merge.mode": "mor", "mor.max-deltas-per-bucket": "2",
+                    "mor.compact-min-delta-ratio": "0.2",
+                    "mor.hard-max-deltas-per-bucket": "10"},
+    )
+    files = [
+        # bucket 0: legacy base entry without rows — never rewritten
+        {"path": "data/v0/b0", "bucket": 0, "schema_id": 0},
+        # bucket 1: modern entries, big base + tiny deltas past soft trigger
+        {"path": "data/v0/b1", "bucket": 1, "schema_id": 0, "rows": 10_000},
+        {"path": "data/v1/b1", "bucket": 1, "schema_id": 0, "kind": "delta", "rows": 5},
+        {"path": "data/v2/b1", "bucket": 1, "schema_id": 0, "kind": "delta", "rows": 5},
+        {"path": "data/v3/b1", "bucket": 1, "schema_id": 0, "kind": "delta", "rows": 5},
+    ]
+    # ratio gate still defers bucket 1; bucket 0 has no deltas at all
+    assert t._compaction_victims(files) == []
+    # but a legacy bucket with its OWN delta pile falls back to the file trigger
+    files += [
+        {"path": f"data/v{i}/b0", "bucket": 0, "schema_id": 0, "kind": "delta"}
+        for i in range(4, 7)
+    ]
+    assert t._compaction_victims(files) == [0]

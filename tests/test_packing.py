@@ -192,3 +192,20 @@ def test_assemble_packs_segments(spark):
     for d, n in rows:
         segs = sorted(seen[d])
         assert segs[0][0] == 0 and sum(sl for _, sl in segs) == n
+
+
+def test_packing_slices_nonidentifier_column_names(spark):
+    """len/id column names that aren't plain SQL identifiers must work —
+    the slice arithmetic may not interpolate them into expr strings."""
+    rows = [(i, (i * 7) % 90 + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "`doc id` long, `n-tok` long")
+    got = sorted(
+        (r["doc id"], r["pack_id"], r["slice_start"], r["slice_len"])
+        for r in pack_sequences_slices(df, CAP, id_col="doc id", len_col="n-tok",
+                                       num_buckets=3).collect()
+    )
+    want = sorted(
+        (d, p, ss, sl) for d, _n, p, ss, sl, _po in
+        _slice_ground_truth([(i, n) for i, n in rows])
+    )
+    assert got == want

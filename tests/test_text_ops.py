@@ -350,3 +350,23 @@ def test_auto_n_planes_tracks_corpus_size(spark):
     for n in (10**6, 10**8, 10**10):
         planes = a(n, target_bucket=256)
         assert 64 <= n / (2 ** planes) <= 1024, (n, planes)
+
+
+def test_multimodal_sniff_consistency():
+    """decode_header and header_len must share one recognition predicate:
+    for ANY bytes, features recognized ⟺ header consumed (else checksums
+    hash header bytes or drop body bytes on edge-length payloads)."""
+    cases = [
+        multimodal._bmp_payload(3, b"xy"),
+        multimodal._png_payload(4, b""),
+        multimodal._wav_payload(9, b"abc"),
+        multimodal._wav_payload(9, b"")[:40],          # truncated WAV
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 40,           # PNG sig, no IHDR
+        b"RIFF\x00\x00\x00\x00WAVEdata" + b"\x00" * 40,  # WAVE, no fmt chunk
+        b"BM short",
+        b"opaque text bytes",
+        b"",
+    ]
+    for b in cases:
+        recognized = multimodal.decode_header(b) != (None, None, None, None)
+        assert (multimodal.header_len(b) > 0) == recognized, b[:16]
