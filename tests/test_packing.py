@@ -209,3 +209,31 @@ def test_packing_slices_nonidentifier_column_names(spark):
         _slice_ground_truth([(i, n) for i, n in rows])
     )
     assert got == want
+
+
+def test_packing_slices_property_random_shapes(spark):
+    """Hypothesis: for arbitrary sparse ids and lengths (zero-length docs,
+    multi-window documents), the distributed slice rows equal the
+    sequential fold."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rows_strategy = st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**9),
+                  st.integers(min_value=0, max_value=3 * CAP + 7)),
+        min_size=1, max_size=40, unique_by=lambda t: t[0],
+    )
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=rows_strategy)
+    def check(rows):
+        df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+        got = sorted(
+            (r["doc_id"], r["n_tok"], r["pack_id"], r["slice_start"],
+             r["slice_len"], r["pack_offset"])
+            for r in pack_sequences_slices(df, CAP, num_buckets=5).collect()
+        )
+        assert got == _slice_ground_truth(rows)
+
+    check()
