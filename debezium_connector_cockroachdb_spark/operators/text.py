@@ -119,6 +119,39 @@ def rolling_fingerprint(text: Column) -> Column:
     return F.when(F.length(norm) == 0, F.lit(0).cast("long")).otherwise(h)
 
 
+# PII scrubbing (pretraining-corpus hygiene): the three high-volume
+# machine-recognizable identifier classes, as lookahead-free ASCII regexes
+# that behave identically under Java regex (Spark) and RE2 (DuckDB) —
+# leftmost-first, non-overlapping, \b on ASCII word chars. Replacement
+# order is load-bearing: emails before URLs (a mailto-style address inside
+# a URL is still an address), URLs before IPs (an IP inside an already
+# redacted URL must not double-count as a bare IP).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+"
+PII_URL_RE = r"https?://[^ \t\n]+"
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact emails/URLs/IPv4s with typed placeholders and count each
+    replacement actually made (counts are taken on the text as it stands
+    at that stage, so an IP living inside a URL counts once, as a URL).
+    Map-only JVM regex over the scan — shuffle-free at any corpus size."""
+    t0 = F.col(text_col)
+    n_emails = F.regexp_count(t0, F.lit(PII_EMAIL_RE))
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
+    n_urls = F.regexp_count(t1, F.lit(PII_URL_RE))
+    t2 = F.regexp_replace(t1, PII_URL_RE, "<URL>")
+    n_ips = F.regexp_count(t2, F.lit(PII_IP_RE))
+    t3 = F.regexp_replace(t2, PII_IP_RE, "<IP>")
+    return df.select(
+        F.col(id_col),
+        n_emails.cast("int").alias("n_emails"),
+        n_urls.cast("int").alias("n_urls"),
+        n_ips.cast("int").alias("n_ips"),
+        t3.alias("text_redacted"),
+    )
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass text-analysis projection over a documents table."""
     t = F.col(text_col)

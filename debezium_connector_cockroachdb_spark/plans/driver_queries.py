@@ -1052,6 +1052,67 @@ FROM spans
 """
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over deterministically PII-augmented documents: both
+    engines append the same synthetic email/URL/IP snippets (pure doc_id
+    arithmetic — the raw corpus carries no PII), then the Spark side runs
+    the real redaction operator while the oracle applies the identical
+    regex pipeline with RE2. Counts reflect replacements actually made
+    (an IP inside a URL counts once, as a URL)."""
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit(" contact user"), sid, F.lit("@mail.example.com now"))
+               ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" see https://site.example/p?q="), sid, F.lit(" ok"))
+               ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit(" ip 10.2.0."), (F.col("doc_id") % 100).cast("string"),
+                        F.lit(" end"))).otherwise(F.lit("")),
+    )
+    return text.redact_pii(
+        d.select("doc_id", aug.alias("text"))
+    ).select(
+        "doc_id", "n_emails", "n_urls", "n_ips",
+        F.md5(F.col("text_redacted")).alias("redacted_md5"),
+    )
+
+
+SQL_PII_REDACTION = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 4 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+              ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+              THEN ' see https://site.example/p?q=' || CAST(doc_id AS VARCHAR) || ' ok'
+              ELSE '' END
+         || CASE WHEN doc_id % 6 = 0
+              THEN ' ip 10.2.0.' || CAST(doc_id % 100 AS VARCHAR) || ' end'
+              ELSE '' END AS t
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+')) AS INT) AS n_emails,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+', '<EMAIL>', 'g') AS t
+  FROM aug
+), s2 AS (
+  SELECT doc_id, n_emails,
+         CAST(length(regexp_extract_all(t, 'https?://[^ \t\n]+')) AS INT) AS n_urls,
+         regexp_replace(t, 'https?://[^ \t\n]+', '<URL>', 'g') AS t
+  FROM s1
+)
+SELECT doc_id, n_emails, n_urls,
+       CAST(length(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+       md5(regexp_replace(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS redacted_md5
+FROM s2
+"""
+
+
 def q_pack_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack assembly (the dataloader-facing fold of the slice rows): one
     row per pack with the segment lists ordered by pack_offset — the
@@ -1581,6 +1642,7 @@ def queries() -> dict[str, QueryFn]:
         "alltypes_roundtrip": q_alltypes_roundtrip,
         "schema_defaults": q_schema_defaults,
         "text_analysis": q_text_analysis,
+        "pii_redaction": q_pii_redaction,
         "token_stats": q_token_stats,
         "sequence_packing": q_sequence_packing,
         "sequence_packing_slices": q_sequence_packing_slices,
@@ -1621,6 +1683,7 @@ def oracle_sql() -> dict[str, str]:
         "alltypes_roundtrip": SQL_ALLTYPES,
         "schema_defaults": SQL_SCHEMA_DEFAULTS,
         "text_analysis": SQL_TEXT_ANALYSIS,
+        "pii_redaction": SQL_PII_REDACTION,
         "token_stats": _token_stats_sql(),
         "sequence_packing": SQL_SEQUENCE_PACKING,
         "sequence_packing_slices": SQL_SEQUENCE_PACKING_SLICES,

@@ -370,3 +370,29 @@ def test_multimodal_sniff_consistency():
     for b in cases:
         recognized = multimodal.decode_header(b) != (None, None, None, None)
         assert (multimodal.header_len(b) > 0) == recognized, b[:16]
+
+
+def test_redact_pii_semantics(spark):
+    """Email → URL → IP order: an IP inside a URL is redacted as part of
+    the URL (never double-counted); bare IPs and emails get their own
+    placeholders; clean text passes through byte-identical."""
+    rows = [
+        (1, "mail me at jane.doe+x@sub.example.org or visit http://10.0.0.1:8080/a?b=c soon"),
+        (2, "server 192.168.0.254 and 8.8.8.8 are up"),
+        (3, "nothing sensitive here"),
+        (4, "x@y.com y@z.net https://a.example/p 1.2.3.4"),
+        (5, "version 1.2.3.4567 is not an ip"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.redact_pii(df).collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["n_urls"] == 1 and got[1]["n_ips"] == 0
+    assert got[1]["text_redacted"] == "mail me at <EMAIL> or visit <URL> soon"
+    assert got[2]["n_ips"] == 2
+    assert got[2]["text_redacted"] == "server <IP> and <IP> are up"
+    assert (got[3]["n_emails"], got[3]["n_urls"], got[3]["n_ips"]) == (0, 0, 0)
+    assert got[3]["text_redacted"] == "nothing sensitive here"
+    assert got[4]["text_redacted"] == "<EMAIL> <EMAIL> <URL> <IP>"
+    # dotted version strings: counts must agree with the placeholders the
+    # redaction actually wrote (engine-agreement on the \b edge is what
+    # the DuckDB gate pins; this asserts internal consistency)
+    assert got[5]["n_ips"] == got[5]["text_redacted"].count("<IP>")
