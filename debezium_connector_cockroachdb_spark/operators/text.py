@@ -152,6 +152,68 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition/quality counters: characters living in
+    duplicated lines, the most-frequent word's count, and the
+    most-frequent word-bigram's count — the raw integers behind the
+    standard "duplicate line fraction / top n-gram fraction" pretraining
+    filters (callers form the ratios; integers stay engine-exact).
+
+    Map-only: every expression is doc-local array arithmetic over the
+    scan (the per-doc distinct×filter scan is O(n_tok²) WITHIN one
+    document — bounded by document length, independent of corpus size —
+    so the operator is shuffle-free at any scale)."""
+    t = F.col(text_col)
+    words = F.when(
+        F.length(F.trim(t)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.lower(F.trim(t)), r"\s+"))
+    n_words = F.size(words)
+    top_word = F.when(n_words == 0, F.lit(0)).otherwise(
+        F.array_max(
+            F.transform(
+                F.array_distinct(words),
+                lambda w: F.size(F.filter(words, lambda x: x == w)),
+            )
+        )
+    )
+    # bigrams via 1-based element_at over an index sequence (guarded:
+    # Spark's sequence(1, n-1) DESCENDS when n-1 < 1)
+    bigrams = F.when(n_words >= 2, F.transform(
+        F.sequence(F.lit(1), n_words - 1),
+        lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+    )).otherwise(F.array().cast("array<string>"))
+    n_bigrams = F.size(bigrams)
+    top_bigram = F.when(n_bigrams == 0, F.lit(0)).otherwise(
+        F.array_max(
+            F.transform(
+                F.array_distinct(bigrams),
+                lambda g: F.size(F.filter(bigrams, lambda x: x == g)),
+            )
+        )
+    )
+    lines = F.split(t, "\n")
+    dup_line_chars = F.aggregate(
+        F.transform(
+            F.array_distinct(lines),
+            lambda l: F.when(
+                F.size(F.filter(lines, lambda x: x == l)) > 1,
+                F.size(F.filter(lines, lambda x: x == l)) * F.length(l),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("int").alias("n_words"),
+        top_word.cast("int").alias("top_word_count"),
+        n_bigrams.cast("int").alias("n_bigrams"),
+        top_bigram.cast("int").alias("top_bigram_count"),
+        F.length(t).cast("int").alias("total_chars"),
+        dup_line_chars.cast("int").alias("dup_line_chars"),
+    )
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass text-analysis projection over a documents table."""
     t = F.col(text_col)

@@ -1113,6 +1113,58 @@ FROM s2
 """
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition counters over documents whose text both
+    engines augment identically with a duplicated line every third doc
+    (the raw corpus is single-line, so the duplicate-line counter needs a
+    deterministic fixture to exercise)."""
+    d = _t(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.col("text"), F.lit("\nrepeat me\nrepeat me")),
+    ).otherwise(F.col("text"))
+    return text.repetition_signals(d.select("doc_id", aug.alias("text")))
+
+
+SQL_REPETITION_SIGNALS = r"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || 'repeat me' || chr(10) || 'repeat me'
+              ELSE text END AS t
+  FROM documents
+), arr AS (
+  SELECT doc_id, t,
+         CASE WHEN length(trim(t)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(lower(trim(t)), '\s+') END AS words,
+         string_split(t, chr(10)) AS lines
+  FROM aug
+), big AS (
+  SELECT *,
+         CASE WHEN len(words) >= 2
+              THEN list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i + 1])
+              ELSE CAST([] AS VARCHAR[]) END AS bigrams
+  FROM arr
+)
+SELECT doc_id,
+       CAST(len(words) AS INT) AS n_words,
+       CAST(CASE WHEN len(words) = 0 THEN 0 ELSE
+            list_max(list_transform(list_distinct(words),
+                                    w -> len(list_filter(words, x -> x = w)))) END AS INT)
+         AS top_word_count,
+       CAST(len(bigrams) AS INT) AS n_bigrams,
+       CAST(CASE WHEN len(bigrams) = 0 THEN 0 ELSE
+            list_max(list_transform(list_distinct(bigrams),
+                                    g -> len(list_filter(bigrams, x -> x = g)))) END AS INT)
+         AS top_bigram_count,
+       CAST(length(t) AS INT) AS total_chars,
+       CAST(coalesce(list_sum(list_transform(list_distinct(lines),
+            l -> CASE WHEN len(list_filter(lines, x -> x = l)) > 1
+                      THEN len(list_filter(lines, x -> x = l)) * length(l)
+                      ELSE 0 END)), 0) AS INT) AS dup_line_chars
+FROM big
+"""
+
+
 def q_pack_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack assembly (the dataloader-facing fold of the slice rows): one
     row per pack with the segment lists ordered by pack_offset — the
@@ -1643,6 +1695,7 @@ def queries() -> dict[str, QueryFn]:
         "schema_defaults": q_schema_defaults,
         "text_analysis": q_text_analysis,
         "pii_redaction": q_pii_redaction,
+        "repetition_signals": q_repetition_signals,
         "token_stats": q_token_stats,
         "sequence_packing": q_sequence_packing,
         "sequence_packing_slices": q_sequence_packing_slices,
@@ -1684,6 +1737,7 @@ def oracle_sql() -> dict[str, str]:
         "schema_defaults": SQL_SCHEMA_DEFAULTS,
         "text_analysis": SQL_TEXT_ANALYSIS,
         "pii_redaction": SQL_PII_REDACTION,
+        "repetition_signals": SQL_REPETITION_SIGNALS,
         "token_stats": _token_stats_sql(),
         "sequence_packing": SQL_SEQUENCE_PACKING,
         "sequence_packing_slices": SQL_SEQUENCE_PACKING_SLICES,

@@ -396,3 +396,23 @@ def test_redact_pii_semantics(spark):
     # redaction actually wrote (engine-agreement on the \b edge is what
     # the DuckDB gate pins; this asserts internal consistency)
     assert got[5]["n_ips"] == got[5]["text_redacted"].count("<IP>")
+
+
+def test_repetition_signals(spark):
+    """Counter semantics against hand-computed values: duplicated lines,
+    top word/bigram frequencies, empty-text edges."""
+    rows = [
+        (1, "a b a b a"),                        # words: a=3, b=2; bigrams: 'a b'=2,'b a'=2
+        (2, "line one\nline two\nline one"),     # 'line one' x2 -> 2*8=16 dup chars
+        (3, ""),                                 # empty: all zeros
+        (4, "unique words only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.repetition_signals(df).collect()}
+    assert got[1]["n_words"] == 5 and got[1]["top_word_count"] == 3
+    assert got[1]["n_bigrams"] == 4 and got[1]["top_bigram_count"] == 2
+    assert got[2]["dup_line_chars"] == 16 and got[2]["total_chars"] == len(rows[1][1])
+    assert got[3]["n_words"] == 0 and got[3]["top_word_count"] == 0
+    assert got[3]["n_bigrams"] == 0 and got[3]["dup_line_chars"] == 0
+    assert got[4]["top_word_count"] == 1 and got[4]["top_bigram_count"] == 1
+    assert got[4]["dup_line_chars"] == 0
