@@ -296,3 +296,41 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------- benchmark decontamination ----------------
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Eval-set decontamination: per corpus document, how many of its
+    distinct n-gram shingles appear anywhere in the benchmark corpus —
+    (doc_id, n_shingles, n_contaminated). Callers drop/flag documents
+    above an overlap fraction before training (the standard guard against
+    benchmark leakage into pretraining data).
+
+    Scale shape: the benchmark side is an EVAL set (thousands of docs,
+    not billions) — it collapses to its distinct shingle set and
+    BROADCASTS, so the corpus side is a map-side join over the scan.
+    A document's exploded shingles stay partition-local, so the per-doc
+    aggregation collapses map-side to one narrow row per document; the
+    only shuffle moves #docs count rows."""
+    bench_sh = (
+        benchmark.select(F.explode(char_shingles(F.col(bench_text_col), n)).alias("shingle"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    sh = shingle_table(corpus, text_col, id_col, n)
+    return (
+        sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("int").alias("n_contaminated"),
+        )
+    )

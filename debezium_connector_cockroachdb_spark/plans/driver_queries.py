@@ -1113,6 +1113,33 @@ FROM s2
 """
 
 
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination sweep: every 50th document plays the eval set; the
+    rest of the corpus reports its shingle overlap against it. The oracle
+    reproduces the same split and distinct-shingle semi-count in SQL."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return text_dedup.benchmark_contamination(corpus, bench)
+
+
+SQL_BENCHMARK_CONTAMINATION = f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({SHINGLES_SQL.format(n=NORM_SQL)}) AS shingle
+  FROM documents WHERE doc_id % 50 = 0
+), sh AS (
+  SELECT doc_id, unnest({SHINGLES_SQL.format(n=NORM_SQL)}) AS shingle
+  FROM documents WHERE doc_id % 50 <> 0
+)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_shingles,
+       CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM bench) THEN 1 ELSE 0 END) AS INT)
+         AS n_contaminated
+FROM sh
+GROUP BY doc_id
+"""
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition counters over documents whose text both
     engines augment identically with a duplicated line every third doc
@@ -1696,6 +1723,7 @@ def queries() -> dict[str, QueryFn]:
         "text_analysis": q_text_analysis,
         "pii_redaction": q_pii_redaction,
         "repetition_signals": q_repetition_signals,
+        "benchmark_contamination": q_benchmark_contamination,
         "token_stats": q_token_stats,
         "sequence_packing": q_sequence_packing,
         "sequence_packing_slices": q_sequence_packing_slices,
@@ -1738,6 +1766,7 @@ def oracle_sql() -> dict[str, str]:
         "text_analysis": SQL_TEXT_ANALYSIS,
         "pii_redaction": SQL_PII_REDACTION,
         "repetition_signals": SQL_REPETITION_SIGNALS,
+        "benchmark_contamination": SQL_BENCHMARK_CONTAMINATION,
         "token_stats": _token_stats_sql(),
         "sequence_packing": SQL_SEQUENCE_PACKING,
         "sequence_packing_slices": SQL_SEQUENCE_PACKING_SLICES,

@@ -416,3 +416,24 @@ def test_repetition_signals(spark):
     assert got[3]["n_bigrams"] == 0 and got[3]["dup_line_chars"] == 0
     assert got[4]["top_word_count"] == 1 and got[4]["top_bigram_count"] == 1
     assert got[4]["dup_line_chars"] == 0
+
+
+def test_benchmark_contamination(spark, docs):
+    """Doc 1 (benchmark) contaminates its whitespace/case duplicate (2)
+    fully and its near-dup (6) heavily; unrelated docs (3,4,5) share at
+    most incidental shingles."""
+    bench = docs.filter(F.col("doc_id") == 1)
+    corpus = docs.filter(F.col("doc_id") != 1)
+    got = {r["doc_id"]: r for r in
+           text_dedup.benchmark_contamination(corpus, bench).collect()}
+    assert got[2]["n_contaminated"] == got[2]["n_shingles"]  # exact dup: 100%
+    frac6 = got[6]["n_contaminated"] / got[6]["n_shingles"]
+    assert frac6 > 0.7                                       # near-dup: heavy overlap
+    for i in (3, 4, 5):
+        assert got[i]["n_contaminated"] / got[i]["n_shingles"] < 0.3
+    # plan: benchmark side broadcasts; corpus never shuffles pre-aggregation
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        text_dedup.benchmark_contamination(corpus, bench).explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
