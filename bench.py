@@ -160,6 +160,9 @@ OPERATOR_BENCH = [
     "pack_assembly",
     "embedding_neardup",
     "stream_dedup",
+    "pii_redaction",
+    "repetition_signals",
+    "benchmark_contamination",
 ]
 
 
