@@ -29,10 +29,18 @@ def occurrence_count(text: Column, needle: str) -> Column:
     return (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) / F.lit(len(needle))
 
 
+def words(text: Column) -> Column:
+    """THE whitespace tokenization (shared by every counter in this
+    module so they can never disagree on what a word is): split on runs
+    of whitespace and drop empty strings — leading/trailing whitespace
+    would otherwise contribute phantom '' tokens (``split`` keeps them;
+    ``trim`` only strips spaces, not newlines/tabs)."""
+    return F.filter(F.split(text, r"\s+"), lambda w: F.length(w) > 0)
+
+
 def token_count(text: Column) -> Column:
     """Whitespace tokenization count (the cheap n_tok estimator)."""
-    t = F.trim(text)
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("int")
+    return F.size(words(text)).cast("int")
 
 
 def word_char_ratio(text: Column) -> Column:
@@ -127,7 +135,12 @@ def rolling_fingerprint(text: Column) -> Column:
 # a URL is still an address), URLs before IPs (an IP inside an already
 # redacted URL must not double-count as a bare IP).
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+"
-PII_URL_RE = r"https?://[^ \t\n]+"
+# URL: non-whitespace run (incl. \r — CRLF text must not lose its
+# carriage return into the redaction) whose LAST char is not closing
+# punctuation, so '(https://a.example) today' keeps its paren and a
+# sentence-final '.' survives. Greedy-class-then-final-class matches
+# identically under Java regex and RE2 (both Perl-greedy leftmost-first).
+PII_URL_RE = r"https?://[^ \t\n\r]*[^ \t\n\r).,;:!?\]]"
 PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 
 
@@ -152,6 +165,26 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def _max_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array = the
+    count of the most frequent element — one O(n) fold after the O(n
+    log n) sort, vs the O(n²) distinct×filter alternative that hangs an
+    executor on a single 500k-token document."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(sorted_arr, acc0, step, lambda a: a["best"])
+
+
 def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition/quality counters: characters living in
     duplicated lines, the most-frequent word's count, and the
@@ -159,50 +192,37 @@ def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc
     standard "duplicate line fraction / top n-gram fraction" pretraining
     filters (callers form the ratios; integers stay engine-exact).
 
-    Map-only: every expression is doc-local array arithmetic over the
-    scan (the per-doc distinct×filter scan is O(n_tok²) WITHIN one
-    document — bounded by document length, independent of corpus size —
-    so the operator is shuffle-free at any scale)."""
+    Map-only and doc-local: sort + one fold per counter, O(n log n) in
+    the DOCUMENT length (never the corpus), shuffle-free over the scan."""
     t = F.col(text_col)
-    words = F.when(
-        F.length(F.trim(t)) == 0, F.array().cast("array<string>")
-    ).otherwise(F.split(F.lower(F.trim(t)), r"\s+"))
-    n_words = F.size(words)
-    top_word = F.when(n_words == 0, F.lit(0)).otherwise(
-        F.array_max(
-            F.transform(
-                F.array_distinct(words),
-                lambda w: F.size(F.filter(words, lambda x: x == w)),
-            )
-        )
-    )
+    w = words(F.lower(t))
+    n_words = F.size(w)
+    top_word = _max_run(F.array_sort(w))
     # bigrams via 1-based element_at over an index sequence (guarded:
     # Spark's sequence(1, n-1) DESCENDS when n-1 < 1)
     bigrams = F.when(n_words >= 2, F.transform(
         F.sequence(F.lit(1), n_words - 1),
-        lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
     )).otherwise(F.array().cast("array<string>"))
     n_bigrams = F.size(bigrams)
-    top_bigram = F.when(n_bigrams == 0, F.lit(0)).otherwise(
-        F.array_max(
-            F.transform(
-                F.array_distinct(bigrams),
-                lambda g: F.size(F.filter(bigrams, lambda x: x == g)),
-            )
-        )
+    top_bigram = _max_run(F.array_sort(bigrams))
+    # duplicated-line chars: fold sorted lines; a line's chars count once
+    # per copy, but only for lines with ≥2 copies (on the run's second
+    # element both the first and second copies are charged)
+    lines = F.array_sort(F.split(t, "\n"))
+    dacc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(1).alias("run"),
+        F.lit(0).alias("dup"),
     )
-    lines = F.split(t, "\n")
-    dup_line_chars = F.aggregate(
-        F.transform(
-            F.array_distinct(lines),
-            lambda l: F.when(
-                F.size(F.filter(lines, lambda x: x == l)) > 1,
-                F.size(F.filter(lines, lambda x: x == l)) * F.length(l),
-            ).otherwise(F.lit(0)),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+
+    def dstep(acc, x):
+        is_rep = acc["prev"].isNotNull() & (x == acc["prev"])
+        run = F.when(is_rep, acc["run"] + 1).otherwise(F.lit(1))
+        add = F.when(is_rep & (run == 2), F.length(x) * 2).when(is_rep, F.length(x)).otherwise(F.lit(0))
+        return F.struct(x.alias("prev"), run.alias("run"), (acc["dup"] + add).alias("dup"))
+
+    dup_line_chars = F.aggregate(lines, dacc0, dstep, lambda a: a["dup"])
     return df.select(
         F.col(id_col),
         n_words.cast("int").alias("n_words"),

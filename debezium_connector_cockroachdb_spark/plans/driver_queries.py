@@ -736,8 +736,7 @@ SQL_TEXT_ANALYSIS = """
 WITH base AS (
   SELECT doc_id, text, trim(text) AS t,
          ' ' || lower(text) || ' ' AS padded,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS n_tokens,
          length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS kept,
          length(regexp_replace(trim(text), '\\s+', '', 'g')) AS letters
   FROM documents
@@ -797,8 +796,7 @@ WITH base AS (
   SELECT doc_id, text, {NORM_SQL} AS norm FROM documents
 )
 SELECT doc_id,
-       CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE length(regexp_split_to_array(trim(text), '\\s+')) END::INT AS n_ws_tokens,
+       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS INT) AS n_ws_tokens,
        CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_bpe_pieces,
        CASE WHEN length(norm) = 0 THEN CAST(0 AS BIGINT)
             ELSE list_reduce(
@@ -1000,8 +998,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SEQUENCE_PACKING = """
 WITH lens AS (
   SELECT doc_id,
-         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tok
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS BIGINT) AS n_tok
   FROM documents
 ), c AS (
   SELECT doc_id, n_tok,
@@ -1031,8 +1028,7 @@ def q_sequence_packing_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SEQUENCE_PACKING_SLICES = """
 WITH lens AS (
   SELECT doc_id,
-         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tok
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS BIGINT) AS n_tok
   FROM documents
 ), c AS (
   SELECT doc_id, n_tok,
@@ -1102,8 +1098,8 @@ WITH aug AS (
   FROM aug
 ), s2 AS (
   SELECT doc_id, n_emails,
-         CAST(length(regexp_extract_all(t, 'https?://[^ \t\n]+')) AS INT) AS n_urls,
-         regexp_replace(t, 'https?://[^ \t\n]+', '<URL>', 'g') AS t
+         CAST(length(regexp_extract_all(t, 'https?://[^ \t\n\r]*[^ \t\n\r).,;:!?\]]')) AS INT) AS n_urls,
+         regexp_replace(t, 'https?://[^ \t\n\r]*[^ \t\n\r).,;:!?\]]', '<URL>', 'g') AS t
   FROM s1
 )
 SELECT doc_id, n_emails, n_urls,
@@ -1161,8 +1157,7 @@ WITH aug AS (
   FROM documents
 ), arr AS (
   SELECT doc_id, t,
-         CASE WHEN length(trim(t)) = 0 THEN CAST([] AS VARCHAR[])
-              ELSE regexp_split_to_array(lower(trim(t)), '\s+') END AS words,
+         list_filter(regexp_split_to_array(lower(t), '\s+'), w -> w <> '') AS words,
          string_split(t, chr(10)) AS lines
   FROM aug
 ), big AS (
@@ -1171,24 +1166,30 @@ WITH aug AS (
               THEN list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i + 1])
               ELSE CAST([] AS VARCHAR[]) END AS bigrams
   FROM arr
+), wtop AS (  -- relational top-count: unnest -> group -> max (exact)
+  SELECT doc_id, max(c) AS top_word FROM (
+    SELECT doc_id, w, count(*) AS c FROM (SELECT doc_id, unnest(words) AS w FROM arr)
+    GROUP BY doc_id, w) GROUP BY doc_id
+), btop AS (
+  SELECT doc_id, max(c) AS top_bigram FROM (
+    SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id, unnest(bigrams) AS g FROM big)
+    GROUP BY doc_id, g) GROUP BY doc_id
+), ldup AS (
+  SELECT doc_id, sum(CASE WHEN c > 1 THEN c * length(l) ELSE 0 END) AS dup_chars FROM (
+    SELECT doc_id, l, count(*) AS c FROM (SELECT doc_id, unnest(lines) AS l FROM arr)
+    GROUP BY doc_id, l) GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(len(words) AS INT) AS n_words,
-       CAST(CASE WHEN len(words) = 0 THEN 0 ELSE
-            list_max(list_transform(list_distinct(words),
-                                    w -> len(list_filter(words, x -> x = w)))) END AS INT)
-         AS top_word_count,
-       CAST(len(bigrams) AS INT) AS n_bigrams,
-       CAST(CASE WHEN len(bigrams) = 0 THEN 0 ELSE
-            list_max(list_transform(list_distinct(bigrams),
-                                    g -> len(list_filter(bigrams, x -> x = g)))) END AS INT)
-         AS top_bigram_count,
-       CAST(length(t) AS INT) AS total_chars,
-       CAST(coalesce(list_sum(list_transform(list_distinct(lines),
-            l -> CASE WHEN len(list_filter(lines, x -> x = l)) > 1
-                      THEN len(list_filter(lines, x -> x = l)) * length(l)
-                      ELSE 0 END)), 0) AS INT) AS dup_line_chars
-FROM big
+SELECT b.doc_id,
+       CAST(len(b.words) AS INT) AS n_words,
+       CAST(coalesce(w.top_word, 0) AS INT) AS top_word_count,
+       CAST(len(b.bigrams) AS INT) AS n_bigrams,
+       CAST(coalesce(t.top_bigram, 0) AS INT) AS top_bigram_count,
+       CAST(length(b.t) AS INT) AS total_chars,
+       CAST(coalesce(l.dup_chars, 0) AS INT) AS dup_line_chars
+FROM big b
+LEFT JOIN wtop w ON w.doc_id = b.doc_id
+LEFT JOIN btop t ON t.doc_id = b.doc_id
+LEFT JOIN ldup l ON l.doc_id = b.doc_id
 """
 
 
@@ -1218,8 +1219,7 @@ def q_pack_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PACK_ASSEMBLY = """
 WITH lens AS (
   SELECT doc_id,
-         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tok
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS BIGINT) AS n_tok
   FROM documents
 ), c AS (
   SELECT doc_id, n_tok,

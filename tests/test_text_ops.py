@@ -424,8 +424,8 @@ def test_benchmark_contamination(spark, docs):
     most incidental shingles."""
     bench = docs.filter(F.col("doc_id") == 1)
     corpus = docs.filter(F.col("doc_id") != 1)
-    got = {r["doc_id"]: r for r in
-           text_dedup.benchmark_contamination(corpus, bench).collect()}
+    res = text_dedup.benchmark_contamination(corpus, bench)
+    got = {r["doc_id"]: r for r in res.collect()}
     assert got[2]["n_contaminated"] == got[2]["n_shingles"]  # exact dup: 100%
     frac6 = got[6]["n_contaminated"] / got[6]["n_shingles"]
     assert frac6 > 0.7                                       # near-dup: heavy overlap
@@ -435,5 +435,36 @@ def test_benchmark_contamination(spark, docs):
     import contextlib, io
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        text_dedup.benchmark_contamination(corpus, bench).explain("formatted")
+        res.explain("formatted")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_repetition_signals_no_phantom_tokens(spark):
+    """Leading/trailing whitespace (incl. newlines — trim only strips
+    spaces) must not contribute empty-string 'words': '\\na\\n' is ONE
+    word, and a trailing newline adds no bigram."""
+    rows = [(1, "\na\n"), (2, "hello world\n"), (3, "  x  "), (4, "a\n\na")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.repetition_signals(df).collect()}
+    assert (got[1]["n_words"], got[1]["top_word_count"]) == (1, 1)
+    assert (got[2]["n_words"], got[2]["n_bigrams"], got[2]["top_bigram_count"]) == (2, 1, 1)
+    assert (got[3]["n_words"], got[3]["top_word_count"]) == (1, 1)
+    assert (got[4]["n_words"], got[4]["top_word_count"]) == (2, 2)
+    # token_count shares the tokenizer
+    tc = {r["doc_id"]: r["n"] for r in df.select("doc_id", text.token_count(F.col("text")).alias("n")).collect()}
+    assert tc == {1: 1, 2: 2, 3: 1, 4: 2}
+
+
+def test_redact_pii_url_boundaries(spark):
+    """URL redaction must not eat adjacent non-PII bytes: closing
+    punctuation stays, CRLF keeps its carriage return."""
+    rows = [
+        (1, "visit (https://example.com) today"),
+        (2, "see https://a.example/x\r\nnext line"),
+        (3, "link https://b.example/p?q=1, then more"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text_redacted"] for r in text.redact_pii(df).collect()}
+    assert got[1] == "visit (<URL>) today"
+    assert got[2] == "see <URL>\r\nnext line"
+    assert got[3] == "link <URL>, then more"
