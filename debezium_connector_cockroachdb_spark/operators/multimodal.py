@@ -154,7 +154,17 @@ def _sniff(b: bytes) -> tuple[str | None, int]:
     parsed features and the body checksum always agree on whether — and
     where — a header was recognized (divergent predicates would silently
     hash header bytes or drop body bytes on edge-length payloads)."""
-    if b[:2] == b"BM" and len(b) >= BMP_HEADER:
+    if (
+        b[:2] == b"BM"
+        and len(b) >= BMP_HEADER
+        # "BM" alone false-positives on opaque text starting with those two
+        # bytes; require the structural invariants our 54-byte-header parse
+        # depends on: pixel-data offset == 54 (no palette between header and
+        # body — the checksum hashes from there) and biSize == 40
+        # (BITMAPINFOHEADER, the only DIB variant the decoder understands)
+        and struct.unpack_from("<I", b, 10)[0] == BMP_HEADER
+        and struct.unpack_from("<I", b, 14)[0] == 40
+    ):
         return ("bmp", BMP_HEADER)
     if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= PNG_HEADER and b[12:16] == b"IHDR":
         return ("png", PNG_HEADER)

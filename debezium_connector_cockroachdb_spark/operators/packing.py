@@ -105,8 +105,10 @@ def pack_sequences(
     starts = _global_starts(df, id_col, len_col, num_buckets)
     if starts is None:
         return df.sparkSession.createDataFrame(
-            [], f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
-                f"{len_col} long, pack_id long, pack_offset long"
+            # backtick-quote caller names: non-identifier columns like
+            # `n-tok` / `doc id` are supported on the non-empty path too
+            [], f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, "
+                f"`{len_col}` long, pack_id long, pack_offset long"
         )
     # exact long arithmetic throughout: `div` is integer division (floor for
     # the non-negative start), while floor(start / capacity) would route
@@ -147,8 +149,8 @@ def pack_sequences_slices(
     starts = _global_starts(df, id_col, len_col, num_buckets)
     if starts is None:
         return df.sparkSession.createDataFrame(
-            [], f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
-                f"{len_col} long, pack_id long, slice_start long, "
+            [], f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, "
+                f"`{len_col}` long, pack_id long, slice_start long, "
                 f"slice_len long, pack_offset long"
         )
     cap = int(capacity)

@@ -210,8 +210,19 @@ def ivf_assign(
         v.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0)
         .orderBy(id_col).limit(n_centroids).collect()
     )
-    if len(seed_rows) < n_centroids:
-        seed_rows = v.orderBy(id_col).limit(n_centroids).collect()
+    # under-filled stride sample: WIDEN the hash acceptance window
+    # (supersets of the first sample, still deterministic) instead of a
+    # global orderBy().limit() over the corpus — at 10^9 rows that
+    # TakeOrdered is a full scan + per-partition top-k for a rare seeding
+    # edge case. Doubling the threshold reaches the whole corpus only when
+    # the corpus itself has < n_centroids qualifying rows.
+    thr = 1
+    while len(seed_rows) < n_centroids and thr < stride:
+        thr = min(thr * 2, stride)
+        seed_rows = (
+            v.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) < thr)
+            .orderBy(id_col).limit(n_centroids).collect()
+        )
     cents = [(i, list(r["_v"])) for i, r in enumerate(seed_rows)]
 
     def assign(df: DataFrame, centroids) -> DataFrame:

@@ -37,6 +37,10 @@ from ..operators.dedup import dedupe_batch
 from ..sources.envelope import RAW_LOG_SCHEMA, parse_changefeed
 from ..sources.lake import SnapshotTable
 
+# max poison offsets collected to the driver per batch (~800 KB of longs);
+# beyond this the quarantine write re-derives is_malformed executor-side
+_BAD_SEQ_CAP = 100_000
+
 METRICS_SCHEMA = T.StructType(
     [
         T.StructField("batch_id", T.LongType(), False),
@@ -350,7 +354,14 @@ class CDCPipeline:
 
     def _bad_seqs_agg(self):
         if self.cfg.errors_path:
-            return F.collect_list(F.when(F.col("is_malformed"), F.col("seq")))
+            # capped at _BAD_SEQ_CAP longs (~800 KB) so a fully-poisoned
+            # 10^7-row batch can't move ~80 MB of offsets to the driver;
+            # overflow is detected via n_malformed (same agg row) and the
+            # quarantine write falls back to a parse-filter pass instead
+            return F.slice(
+                F.collect_list(F.when(F.col("is_malformed"), F.col("seq"))),
+                1, _BAD_SEQ_CAP,
+            )
         return F.first(F.lit(None).cast("long"), ignorenulls=True)
 
     def process_batch(self, raw: DataFrame, batch_id: int) -> dict[str, Any]:
@@ -483,7 +494,18 @@ class CDCPipeline:
             # all-poison batch still parses exactly once.
             if self.cfg.errors_path and n_malformed > 0:
                 bad = sorted(int(s) for s in (agg.get("bad_seqs") or []))
-                if len(bad) <= 1000:
+                if n_malformed > _BAD_SEQ_CAP:
+                    # collected list was capped: the offsets on hand are an
+                    # arbitrary subset, so re-derive is_malformed with one
+                    # extra parse pass — bounded, executor-side, and only on
+                    # pathological (mostly-poison) batches
+                    bad_df = (
+                        parse_changefeed(raw, self.specs, self.cfg.pk_name)
+                        .filter(F.col("is_malformed"))
+                        .select(F.col("seq").alias("offset"))
+                    )
+                    poison = raw.join(bad_df, "offset", "left_semi")
+                elif len(bad) <= 1000:
                     poison = raw.filter(F.col("offset").isin(bad))
                 else:
                     seq_df = self.spark.createDataFrame([(s,) for s in bad], "offset long")

@@ -48,6 +48,7 @@ def streaming_exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     state_timeout_ms: int | None = None,
+    engine: str = "pandas",
 ) -> DataFrame:
     """First-occurrence filter over a streaming documents DataFrame.
 
@@ -57,7 +58,47 @@ def streaming_exact_dedup(
     nothing. ``state_timeout_ms`` optionally expires idle fingerprints
     (processing-time timeout) so unbounded streams can trade re-admission
     of very old duplicates for bounded state — exactly the reference LRU's
-    trade-off, made explicit."""
+    trade-off, made explicit.
+
+    ``engine`` picks the state backend:
+
+    - ``"pandas"`` (default): ``applyInPandasWithState`` — deterministic
+      min-``id_col`` winner within the first batch plus an exact
+      ``n_dropped_before_emit`` counter. Costs a Python worker round-trip
+      per fingerprint GROUP per batch, which at 10^10 mostly-unique docs
+      is billions of 1-row pandas invocations.
+    - ``"jvm"``: Spark's native streaming ``dropDuplicates([fp])`` — the
+      whole filter runs in the JVM state store (RocksDB/HDFS-backed),
+      zero Python in the loop. Same emitted-fingerprint SET and same
+      cross-batch/restart semantics; the surviving row among INTRA-batch
+      duplicates is first-received (partition-order-dependent, not
+      min-id), and drop counts aren't tracked
+      (``n_dropped_before_emit`` is null). Use it whenever plain
+      first-wins suffices — that's the reference's own LRU semantics
+      (CockroachDBStreamingChangeEventSource.java:85-104, which also
+      keeps no per-key duplicate counter)."""
+    if engine == "jvm":
+        keyed = stream.select(
+            fingerprint(F.col(text_col)).alias("fp"),
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
+        if state_timeout_ms is not None:
+            # JVM analogue of the processing-time state timeout: stamp
+            # arrival time, watermark it, and let the state store evict
+            # fingerprints older than the horizon
+            keyed = keyed.withColumn("_ingest_ts", F.current_timestamp()).withWatermark(
+                "_ingest_ts", f"{max(state_timeout_ms, 1000) // 1000} seconds"
+            )
+            deduped = keyed.dropDuplicatesWithinWatermark(["fp"]).drop("_ingest_ts")
+        else:
+            deduped = keyed.dropDuplicates(["fp"])
+        return deduped.select(
+            "fp", "doc_id", "text",
+            F.lit(None).cast("long").alias("n_dropped_before_emit"),
+        )
+    if engine != "pandas":
+        raise ValueError(f"unknown engine {engine!r} (expected 'pandas' or 'jvm')")
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     id_type = stream.schema[id_col].dataType

@@ -181,6 +181,38 @@ def test_poison_event_quarantined(spark, tmp_path):
     assert len(errs) == 1 and errs[0]["value"].startswith("NOT JSON")
 
 
+def test_poison_offset_cap_falls_back_to_parse_filter(spark, tmp_path, monkeypatch):
+    """X3 capped path: when a batch carries more poison rows than
+    _BAD_SEQ_CAP, the driver-side offset list is truncated (bounded
+    collect) and the quarantine write re-derives is_malformed
+    executor-side — every poison row still reaches the dead-letter table
+    exactly once and the stream survives."""
+    from pyspark.sql import Row
+
+    from debezium_connector_cockroachdb_spark.streaming import pipeline as pipeline_mod
+
+    monkeypatch.setattr(pipeline_mod, "_BAD_SEQ_CAP", 5)
+    gcfg, icfg, log_dir, seed = build_env(spark, tmp_path)
+    icfg.errors_path = str(tmp_path / "errors")
+    pipe = CDCPipeline(spark, icfg)
+    pipe.run_to_completion(seed_df=seed)
+    n_before = pipe.read_state().count()
+    poison = spark.createDataFrame(
+        [
+            Row(topic="t", partition=0, offset=10**9 + i, ts_ms=0,
+                key='["x"]', value=f"NOT JSON {{{{{i}")
+            for i in range(20)
+        ],
+        "topic string, partition int, offset long, ts_ms long, key string, value string",
+    )
+    stats = pipe.process_batch(poison, batch_id=999998)
+    assert stats["n_malformed"] == 20
+    assert pipe.read_state().count() == n_before
+    errs = spark.read.parquet(icfg.errors_path).collect()
+    assert len(errs) == 20
+    assert sorted(r["offset"] for r in errs) == [10**9 + i for i in range(20)]
+
+
 def test_exact_drift_mode_evolves_and_fails_on_unknown(spark, tmp_path):
     """drift_mode="exact": per-batch field-set comparison (reference-
     faithful E1). Known-in-registry drift evolves; a field the registry

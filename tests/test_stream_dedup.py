@@ -130,3 +130,54 @@ def test_streaming_dedup_min_id_across_arrow_chunks(spark, tmp_path):
     assert len(got) == 1
     assert got[0]["doc_id"] == "a00"
     assert got[0]["n_dropped_before_emit"] == 8
+
+
+def test_streaming_dedup_jvm_engine_state_equivalent(spark, tmp_path):
+    """engine="jvm" (native dropDuplicates, zero Python in the loop) must
+    be state-equivalent to the pandas engine: same emitted-fingerprint set,
+    same cross-batch suppression, state survives a query restart on the
+    same checkpoint. (Winner among intra-batch duplicates is first-received
+    rather than min-id — not asserted; drop counts are null.)"""
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    _write_batch(spark, src, [("a1", "alpha doc"), ("b1", "beta doc")], 0)
+
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        q = (
+            streaming_exact_dedup(stream, engine="jvm")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir).collect()
+
+    first = drain()
+    assert {r["doc_id"] for r in first} == {"a1", "b1"}
+    assert all(r["n_dropped_before_emit"] is None for r in first)
+
+    time.sleep(0.1)
+    # a2 duplicates pre-restart content -> suppressed by restored JVM state;
+    # c1 is novel -> emitted (identical scenario to the pandas restart test)
+    _write_batch(spark, src, [("a2", "ALPHA   DOC"), ("c1", "fresh one")], 1)
+    assert {r["doc_id"] for r in drain()} == {"a1", "b1", "c1"}
+
+
+def test_streaming_dedup_rejects_unknown_engine(spark):
+    import pytest as _pytest
+
+    df = spark.readStream.format("rate").load().selectExpr(
+        "cast(value as string) as doc_id", "'x' as text"
+    )
+    with _pytest.raises(ValueError, match="unknown engine"):
+        streaming_exact_dedup(df, engine="nope")

@@ -162,6 +162,12 @@ def test_multimodal_decode_header_direct():
     td = bytearray(multimodal._bmp_payload(100, b""))
     td[22:26] = _s.pack("<i", -(100 % 211 + 1))
     assert multimodal.decode_header(bytes(td))[1] == 100 % 211 + 1
+    # opaque text that merely STARTS with "BM" must not sniff as BMP: the
+    # structural checks (data offset == 54, biSize == 40) reject it, so it
+    # gets null features and a full-payload checksum, not garbage dims
+    fake = b"BM" + b"x" * 80
+    assert multimodal.decode_header(fake) == (None, None, None, None)
+    assert multimodal.header_len(fake) == 0
 
 
 def test_frame_sample_plan(spark, docs):
@@ -231,6 +237,9 @@ def test_ivf_recenter_high_dim(spark):
     got = sorted(c[0] for _i, c in cents)
     assert got == [2.0, 104.0]  # exact means: (1+2+3)/3 shifted, (103+104+105)/3
     assert all(len(c) == dim for _i, c in cents)
+
+
+def test_rolling_fingerprint_properties(spark):
     """Rabin-Karp fingerprint: matches the pure-Python fold, and the
     ROLLING property holds — h(a||b) = h(a)*B^|b| + h(b) (mod P), which is
     what makes windowed substring fingerprints O(1) per slide."""
