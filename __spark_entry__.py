@@ -111,7 +111,7 @@ def _run_cdc_replay(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
 # control rows and tombstones (blank value) are filtered; a winning delete
 # removes the row (including its seed image); seed rows survive only for
 # keys with no stream events at all.
-_REPLAY_ORACLE_SQL = """
+_REPLAY_ORACLE_TMPL = """
 WITH log AS (
   -- staging freshness gate: the staged log/seed are a side effect of the
   -- Spark query; if they were generated from a different sf dir (doc count
@@ -160,7 +160,109 @@ seed_keep AS (
   FROM seed s ANTI JOIN winners w ON s.doc_id = w.doc_id
 )
 SELECT * FROM final_ev UNION ALL SELECT * FROM seed_keep
-""".format(base=_REPLAY_BASE)
+"""
+
+_REPLAY_ORACLE_SQL = _REPLAY_ORACLE_TMPL.format(base=_REPLAY_BASE)
+
+# dedicated E1–E3 staging dir (independent of the flagship's so the two
+# gates never clobber each other's staged logs mid-comparison)
+_EVOLUTION_BASE = os.path.join(_WORK, "evolution_oracle")
+
+
+def _run_schema_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedicated E1–E3 gate (drift detect / refresh / backlog isolated from
+    the flagship): the replay runs under ``drift_mode="exact"`` — the
+    reference-faithful path where drift is detected from the BATCH'S OWN
+    after-image field sets (hasSchemaChanged,
+    CockroachDBStreamingChangeEventSource.java:1302-1326), the registry is
+    re-read, and the pre-DDL backlog events in the same batch re-convert
+    under the refreshed schema (dbz#2253,
+    CockroachDBRegressionScenariosIT.java:140-199). After the replay a
+    second registry DDL adds two DEFAULT-bearing columns (C14,
+    CockroachDBDefaultValueConverter.java:41-59): the literal defaults must
+    fill every previously-written row at read. The oracle recomputes the
+    final state from the staged log via per-key arg-max with seed overlay
+    and projects the default literals."""
+    from pyspark.sql import types as T
+
+    from debezium_connector_cockroachdb_spark.functions.converters import ColumnSpec
+    from debezium_connector_cockroachdb_spark.sources.generator import (
+        GeneratorConfig,
+        seed_table,
+        write_log,
+    )
+    from debezium_connector_cockroachdb_spark.streaming.pipeline import (
+        CDCPipeline,
+        IngestConfig,
+        registry_defaults,
+    )
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    cfg = GeneratorConfig(
+        num_keys=max(n_docs // 2, 10),
+        num_events=max(n_docs * 4, 100),
+        resolved_every=max(n_docs, 100),
+        n_files=3,
+        dup_pct=4,
+        tombstone_pct=40,
+        # mid-stream ADD COLUMN with a pre-DDL backlog ahead of it
+        evolve_at=max(n_docs * 2, 50),
+    )
+    base = _EVOLUTION_BASE
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    log_dir = os.path.join(base, "log")
+    seed_dir = os.path.join(base, "seed")
+    write_log(spark, cfg, log_dir)
+    seed_table(spark, cfg).write.mode("overwrite").parquet(seed_dir)
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(
+        _pa.table({"sf_dir": [sf_dir], "n_docs": [n_docs]}),
+        os.path.join(base, "marker.parquet"),
+    )
+    icfg = IngestConfig(
+        log_dir=log_dir,
+        table_path=os.path.join(base, "table"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        num_buckets=8,
+        max_files_per_trigger=1,
+        drift_mode="exact",
+        collect_metrics=False,
+    )
+    pipe = CDCPipeline(spark, icfg)
+    pipe.run_to_completion(seed_df=spark.read.parquet(seed_dir))
+
+    # post-replay DDL with defaults: ADD COLUMN quality STRING DEFAULT
+    # 'UNSCORED', score INT8 DEFAULT 7 — metadata-only commit; every row on
+    # disk predates the columns, so the literals must appear at read
+    v3 = T.StructType(
+        list(pipe.table.schema.fields)
+        + [T.StructField("quality", T.StringType(), True),
+           T.StructField("score", T.LongType(), True)]
+    )
+    v3_defaults = registry_defaults([
+        ColumnSpec("quality", "STRING", default_sql="'UNSCORED':::STRING"),
+        ColumnSpec("score", "INT8", default_sql="7:::INT8"),
+    ])
+    pipe.table.evolve_schema(v3, defaults=v3_defaults)
+    return pipe.read_state().select(
+        "doc_id",
+        F.md5(F.to_json(F.col("tokens"))).alias("tokens_md5"),
+        F.col("n_tok").cast("int").alias("n_tok"),
+        "source",
+        "lang",
+        "quality",
+        "score",
+    )
+
+
+_EVOLUTION_ORACLE_SQL = (
+    "SELECT q.*, 'UNSCORED' AS quality, CAST(7 AS BIGINT) AS score FROM ("
+    + _REPLAY_ORACLE_TMPL.format(base=_EVOLUTION_BASE)
+    + ") q"
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -173,10 +275,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = dict(_dq.queries())
     qs["cdc_full_replay"] = lambda spark, sf_dir: _run_cdc_replay(spark, sf_dir, _REPLAY_BASE)
+    qs["schema_evolution_replay"] = _run_schema_evolution_replay
     return qs
 
 
 def oracle_sql() -> dict[str, str]:
     out = dict(_dq.oracle_sql())
     out["cdc_full_replay"] = _REPLAY_ORACLE_SQL
+    out["schema_evolution_replay"] = _EVOLUTION_ORACLE_SQL
     return out

@@ -381,3 +381,111 @@ def test_unknown_source_format_rejected(spark, tmp_path):
                         checkpoint_dir=str(tmp_path / "c"), source_format="csv")
     with pytest.raises(ValueError, match="source_format"):
         CDCPipeline(spark, icfg).start_stream(available_now=True)
+
+
+def test_mid_partition_resume_stored_plus_one(spark, tmp_path):
+    """Mid-partition resume surrogate (dbz#2154 analogue,
+    CockroachDBStreamingChangeEventSource.java:526-542 rebalance seek,
+    CockroachDBRestartResumeIT.java:119-186): a consumer dies mid-batch
+    with its three topic-partitions at UNEVEN positions; on
+    restart/reassignment each partition must resume at its own stored
+    offset + 1 — nothing re-emitted, nothing skipped — and redelivery of
+    an already-committed batch must be an idempotent no-op. The final
+    table state equals a one-shot replay of the same records.
+
+    Kafka shape is faithful: records are keyed to partitions by primary
+    key (same key -> same partition -> per-key order preserved, exactly
+    the connector's producer contract) and each partition carries its own
+    contiguous offset sequence starting at 0."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from debezium_connector_cockroachdb_spark.sources.generator import (
+        GeneratorConfig,
+        seed_table,
+        write_log,
+    )
+    from debezium_connector_cockroachdb_spark.streaming.pipeline import map_kafka_records
+
+    log = str(tmp_path / "log")
+    gcfg = GeneratorConfig(num_keys=50, num_events=1200, resolved_every=200,
+                           n_files=3, dup_pct=5, tombstone_pct=40, hot_key_pct=10)
+    write_log(spark, gcfg, log)
+
+    # key-hash partitioning into 3 partitions + per-partition offset
+    # renumbering (row_number over the global-order window; test-scale only)
+    n_parts = 3
+    w = Window.partitionBy("_p").orderBy("offset")
+    consumer = (
+        spark.read.parquet(log)
+        .withColumn("_p", F.pmod(F.xxhash64(F.coalesce("key", "topic")), F.lit(n_parts)).cast("int"))
+        .withColumn("_poff", F.row_number().over(w).cast("long") - 1)
+        .select(
+            "topic", F.col("_p").alias("partition"), F.col("_poff").alias("offset"),
+            F.timestamp_millis(F.col("ts_ms")).alias("timestamp"),
+            F.col("key").cast("binary").alias("key"),
+            F.col("value").cast("binary").alias("value"),
+        )
+    )
+    mapped = map_kafka_records(consumer)
+
+    counts = {r["partition"]: r["n"] for r in
+              consumer.groupBy("partition").agg(F.count("*").alias("n")).collect()}
+    assert len(counts) == n_parts
+    # the crash leaves each partition at a different position (committed
+    # offsets 60% / 30% / 80% through the partition)
+    stored = {p: int(counts[p] * frac) - 1 for p, frac in zip(sorted(counts), (0.6, 0.3, 0.8))}
+
+    def part_filter(df, lo_excl: dict, hi_incl: dict | None):
+        cond = F.lit(False)
+        for p in sorted(counts):
+            # composite seq = (partition_offset << 12) + partition
+            lo = (lo_excl[p] + 1) << 12
+            c = (F.col("partition_id") == p) & (F.col("offset") >= lo + p)
+            if hi_incl is not None:
+                c = c & (F.col("offset") <= ((hi_incl[p] << 12) + p))
+            cond = cond | c
+        return df.filter(cond)
+
+    tagged = mapped.withColumn("partition_id", F.col("offset") % (1 << 12))
+    batch0 = part_filter(tagged, {p: -1 for p in counts}, stored).drop("partition_id")
+    batch1 = part_filter(tagged, stored, None).drop("partition_id")
+
+    icfg = IngestConfig(log_dir=log, table_path=str(tmp_path / "t_resume"),
+                        num_buckets=8, collect_metrics=False)
+    pipe = CDCPipeline(spark, icfg)
+    pipe.run_snapshot(seed_table(spark, gcfg))
+    s0 = pipe.process_batch(batch0, batch_id=0)
+
+    # crash + rebalance: a redelivery of the committed batch (same epoch)
+    # must not double-apply — batch_key idempotence
+    s_redeliver = pipe.process_batch(batch0, batch_id=0)
+    assert s_redeliver.get("skipped") is True
+
+    # resume: every partition continues from ITS stored offset + 1
+    s1 = pipe.process_batch(batch1, batch_id=1)
+
+    # zero re-emission / zero loss: the two batches partition the record set
+    seqs0 = {r["offset"] for r in batch0.select("offset").collect()}
+    seqs1 = {r["offset"] for r in batch1.select("offset").collect()}
+    all_seqs = {r["offset"] for r in mapped.select("offset").collect()}
+    assert seqs0.isdisjoint(seqs1)
+    assert seqs0 | seqs1 == all_seqs
+    assert int(s0["n_raw"]) + int(s1["n_raw"]) == len(all_seqs)
+    # per-partition resume floor is exactly stored+1 (no seek-to-earlier)
+    for p in counts:
+        lo = min((s >> 12) for s in seqs1 if s % (1 << 12) == p)
+        assert lo == stored[p] + 1
+
+    # one-shot replay of the same kafka-shaped records = identical state
+    icfg2 = IngestConfig(log_dir=log, table_path=str(tmp_path / "t_oneshot"),
+                         num_buckets=8, collect_metrics=False)
+    ref = CDCPipeline(spark, icfg2)
+    ref.run_snapshot(seed_table(spark, gcfg))
+    ref.process_batch(mapped, batch_id=0)
+    cols = [f.name for f in pipe.table.schema.fields]
+    norm = lambda pp: sorted(
+        tuple(tuple(v) if isinstance(v, list) else v for v in r)
+        for r in pp.read_state().select(*cols).collect()
+    )
+    assert norm(pipe) and norm(pipe) == norm(ref)
