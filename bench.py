@@ -166,14 +166,29 @@ OPERATOR_BENCH = [
 ]
 
 
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
 def synth_scale_dir(spark, factor: int) -> str:
     """Derived scale-up of the sf0.1 tables for the scale-trend run
     (BENCH_SF_SYNTH=10 ≈ sf1): union `factor` id-shifted copies of
     documents/embeddings/events — deterministic, no external data. Only
-    used for timing trends, never for correctness oracles."""
+    used for timing trends, never for correctness oracles.
+
+    Growth is ORGANIC, not duplicated: copy i's document text is
+    letter-rotated (Caesar shift i·7 mod 26, upper+lower) so its char
+    shingles share nothing with any other copy while word lengths,
+    whitespace, punctuation and the WITHIN-copy duplicate rate are
+    preserved exactly — a k-fold corpus then carries ~k× the base pair
+    count instead of the ~k²/2 inflation plain duplication caused (every
+    original spawned k-choose-2 cross-copy duplicate pairs, which forced
+    a disclosure caveat on every dedup trend row). Embeddings circular-
+    shift by i components per copy: within-copy cosine structure is
+    exactly preserved (a shared rotation is an isometry of the dot
+    product), cross-copy vectors decorrelate."""
     from pyspark.sql import functions as F
 
-    out = os.path.join(REPO, "_work", f"sf_synth_x{factor}")
+    out = os.path.join(REPO, "_work", f"sf_synth_organic_x{factor}")
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
     os.makedirs(out, exist_ok=True)
@@ -187,10 +202,30 @@ def synth_scale_dir(spark, factor: int) -> str:
     ):
         src = spark.read.parquet(f"{SF_DIR}/{name}.parquet")
         n = src.count()
-        parts = [
-            src.withColumn(id_col, (F.col(id_col) + F.lit(i * n)).cast(id_kind))
-            for i in range(factor)
-        ]
+        parts = []
+        for i in range(factor):
+            p = src.withColumn(id_col, (F.col(id_col) + F.lit(i * n)).cast(id_kind))
+            if name == "documents" and i > 0:
+                rot = (i * 7) % 26
+                shifted = _ALPHA[rot:] + _ALPHA[:rot]
+                p = p.withColumn(
+                    "text",
+                    F.translate(
+                        "text", _ALPHA + _ALPHA.upper(), shifted + shifted.upper()
+                    ),
+                )
+            if name == "embeddings" and i > 0:
+                dim_row = src.select(F.size("embedding").alias("d")).first()
+                shift = i % max(int(dim_row["d"]), 1)
+                if shift:
+                    p = p.withColumn(
+                        "embedding",
+                        F.concat(
+                            F.slice("embedding", shift + 1, int(dim_row["d"]) - shift),
+                            F.slice("embedding", 1, shift),
+                        ),
+                    )
+            parts.append(p)
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
@@ -272,6 +307,18 @@ def main() -> None:
             secs.append(round(time.time() - t0, 3))
         timings["ann_cosine_topk_lsh_auto"] = min(secs)
         op_repeat_secs["ann_cosine_topk_lsh_auto"] = secs
+
+        # streaming-dedup engine A/B: identical workload to the gated
+        # `stream_dedup` row but through the JVM-native dropDuplicates
+        # state store (zero Python per fingerprint group) — the per-group
+        # Python invocation overhead is the pandas path's 10^10-doc risk
+        secs = []
+        for _ in range(op_repeats):
+            t0 = time.time()
+            dq.q_stream_dedup(spark, op_dir, engine="jvm").count()
+            secs.append(round(time.time() - t0, 3))
+        timings["stream_dedup_jvm"] = min(secs)
+        op_repeat_secs["stream_dedup_jvm"] = secs
 
     total = round(sum(timings.values()), 3)
     out = {

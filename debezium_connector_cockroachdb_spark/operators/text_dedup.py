@@ -83,6 +83,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     scratch_dir: str | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Document pairs with Jaccard(shingles) ≥ threshold.
 
@@ -100,11 +101,20 @@ def ngram_jaccard_pairs(
     as parquet and re-read by the 5 downstream consumers. Deliberately NOT
     ``.persist()``: |D|·|shingles| rows pinned in executor memory is the
     100 TB failure mode (same lesson as the lake's parquet staging,
-    sources/lake.py); when None the (cheap, codegen'd) explode recomputes."""
-    sh = shingle_table(df, text_col, id_col, n)
-    if scratch_dir:
-        sh.write.mode("overwrite").parquet(scratch_dir)
-        sh = df.sparkSession.read.parquet(scratch_dir)
+    sources/lake.py); when None the (cheap, codegen'd) explode recomputes.
+
+    ``shingles``: a pre-computed ``(id_col, shingle)`` exploded table for
+    exactly ``df`` (e.g. one staged table shared across the jaccard /
+    minhash / decontamination family — they all consume the same explode,
+    so re-materializing it per operator is pure waste at any scale).
+    Takes precedence over ``scratch_dir``."""
+    if shingles is not None:
+        sh = shingles
+    else:
+        sh = shingle_table(df, text_col, id_col, n)
+        if scratch_dir:
+            sh.write.mode("overwrite").parquet(scratch_dir)
+            sh = df.sparkSession.read.parquet(scratch_dir)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
 
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -149,12 +159,15 @@ def ngram_jaccard_pairs(
 # ---------------- MinHash + LSH ----------------
 
 def minhash_signatures(
-    df: DataFrame, k: int = 16, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, k: int = 16, n: int = 5, text_col: str = "text", id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """k-wide MinHash signature per doc: min over shingles of
     (a_j·h48(shingle)+b_j) mod p. One explode + one groupBy with k mins —
-    map-side combinable, single shuffle on doc_id."""
-    sh = shingle_table(df, text_col, id_col, n)
+    map-side combinable, single shuffle on doc_id. ``shingles`` optionally
+    supplies the pre-exploded (id, shingle) table (shared staging across
+    the shingle-family operators)."""
+    sh = shingle_table(df, text_col, id_col, n) if shingles is None else shingles
     h = md5_48(F.col("shingle"))
     mins = [
         F.min((h * F.lit(MINHASH_A[j]) + F.lit(MINHASH_B[j])) % F.lit(MINHASH_P)).alias(f"mh{j}")
@@ -172,6 +185,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     scratch_dir: str | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs via banded LSH over MinHash signatures, scored by
     signature agreement (estimated Jaccard = matching minhashes / k).
@@ -186,7 +200,7 @@ def minhash_lsh_pairs(
     recomputes per consumer (fine at test scale)."""
     assert k % bands == 0
     rows = k // bands
-    sig = minhash_signatures(df, k, n, text_col, id_col)
+    sig = minhash_signatures(df, k, n, text_col, id_col, shingles=shingles)
     if scratch_dir:
         sig.write.mode("overwrite").parquet(scratch_dir)
         sig = df.sparkSession.read.parquet(scratch_dir)
@@ -307,6 +321,8 @@ def benchmark_contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     bench_text_col: str = "text",
+    corpus_shingles: DataFrame | None = None,
+    bench_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Eval-set decontamination: per corpus document, how many of its
     distinct n-gram shingles appear anywhere in the benchmark corpus —
@@ -320,12 +336,12 @@ def benchmark_contamination(
     A document's exploded shingles stay partition-local, so the per-doc
     aggregation collapses map-side to one narrow row per document; the
     only shuffle moves #docs count rows."""
-    bench_sh = (
+    bench_side = (
         benchmark.select(F.explode(char_shingles(F.col(bench_text_col), n)).alias("shingle"))
-        .distinct()
-        .withColumn("_hit", F.lit(1))
+        if bench_shingles is None else bench_shingles.select("shingle")
     )
-    sh = shingle_table(corpus, text_col, id_col, n)
+    bench_sh = bench_side.distinct().withColumn("_hit", F.lit(1))
+    sh = shingle_table(corpus, text_col, id_col, n) if corpus_shingles is None else corpus_shingles
     return (
         sh.join(F.broadcast(bench_sh), "shingle", "left")
         .groupBy(id_col)
