@@ -298,6 +298,7 @@ def cosine_topk_ivf(
     query_id_col: str = "query_id",
     assigned: DataFrame | None = None,
     cents: list[tuple[int, list[float]]] | None = None,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: queries score only against the n_probe
     nearest cells' vectors (the inverted-file scale path — at 10^9 vectors
@@ -312,7 +313,10 @@ def cosine_topk_ivf(
     Ties in both the cell rank and the final top-k break deterministically
     (cell index ASC / neighbor_id ASC)."""
     if assigned is None or cents is None:
-        assigned, cents = ivf_assign(corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col)
+        assigned, cents = ivf_assign(
+            corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+            n_vectors=n_vectors,
+        )
     spark = corpus.sparkSession
 
     cent_df = spark.createDataFrame(

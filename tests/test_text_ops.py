@@ -477,3 +477,28 @@ def test_redact_pii_url_boundaries(spark):
     assert got[1] == "visit (<URL>) today"
     assert got[2] == "see <URL>\r\nnext line"
     assert got[3] == "link <URL>, then more"
+
+
+def test_ann_plan_width_dim_independent(spark):
+    """The ANN plans must not fan out with embedding dimension: the
+    zip_with/aggregate dot product and the per-plane LSH folds are single
+    expressions regardless of dim (the historical traps planned one term
+    per dimension — codegen death at real embedding widths). Optimized
+    plan size at dim 1536 must sit within noise of dim 8 for the same row
+    count."""
+    def plan_chars(dim):
+        vecs = spark.range(20).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: (F.pmod(F.xxhash64(F.col("id"), j), F.lit(2001)) / 1000.0 - 1.0),
+            ).alias("embedding"),
+        )
+        q = vecs.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        df = similarity.cosine_topk_lsh(vecs, q, k=3, n_planes=6)
+        return len(df._jdf.queryExecution().optimizedPlan().toString())
+
+    small, big = plan_chars(8), plan_chars(1536)
+    assert big < small * 1.5 + 2000, (small, big)
