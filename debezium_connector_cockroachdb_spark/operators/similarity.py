@@ -22,6 +22,7 @@ Dot products use ``F.zip_with`` + ``F.aggregate`` — JVM-side, no UDF.
 
 from __future__ import annotations
 
+import pyarrow as pa  # module-level: arrow_udf type hints resolve via globals
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -78,9 +79,13 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    kernel: str = "expr",
 ) -> DataFrame:
     """Exact top-k neighbors per query (self-matches excluded when ids
-    collide). Output: (query_id, neighbor_id, rank, cos_sim)."""
+    collide). Output: (query_id, neighbor_id, rank, cos_sim).
+    ``kernel="arrow"`` scores via the NumPy batch kernel (see the
+    Arrow-kernel note below)."""
+    cos_fn = _cosine_kernel(kernel) if kernel != "expr" else cosine
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qv"),
@@ -95,7 +100,7 @@ def cosine_topk(
             # rounded BEFORE ranking so tie-breaks are reproducible across
             # engines (two sims rounding equal must fall back to id order)
             F.round(
-                cosine(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")), 6
+                cos_fn(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")), 6
             ).alias("cos_sim"),
         )
     )
@@ -139,6 +144,88 @@ def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
     return acc
 
 
+# ---- Arrow/NumPy kernels: the realistic-dimension scale path ----
+#
+# The expression kernels above (zip_with/aggregate dot products, per-plane
+# HOF folds) are plan-narrow at any dim, but Catalyst evaluates
+# higher-order functions per ELEMENT on the interpreted path — measured at
+# dim 1536 / 10^5 vectors that interpretation dominates the wall (LSH 681 s,
+# IVF 299 s; tools/ann_highdim.py). The Arrow kernels below batch the same
+# arithmetic through NumPy/BLAS matmuls (one GEMM per Arrow batch) and are
+# the path a 10^9-vector × 1536-dim index actually runs. They are
+# numerically equivalent up to float summation order: a bucket bit or an
+# argmin can flip only on knife-edge sums, so the oracle-gated driver
+# queries keep kernel="expr" while scale runs pass kernel="arrow".
+#
+# Implementation note: arrow_udf / mapInArrow, NOT pandas_udf — the pandas
+# bridge materializes one ndarray PER ROW and np.stack then re-touches each
+# (measured: +24 s per 10^5×1536 pass, half the kernel's win); the
+# pyarrow ListArray instead exposes the flat value buffer zero-copy
+# (`flatten().reshape(n, dim)` — valid because embeddings are fixed-width,
+# non-null).
+
+def _flat(v, dim_hint: int = -1):
+    """pyarrow list-of-double Array → (n, dim) ndarray, zero-copy."""
+    import numpy as np
+
+    return np.asarray(v.flatten()).reshape(len(v), dim_hint)
+
+
+def _plane_matrix(n_planes: int, dim: int):
+    """The SAME deterministic ±1 planes as _plane_sign, as a matrix."""
+    import numpy as np
+
+    j = np.arange(dim)
+    return np.stack(
+        [np.where((j * (b + 3) + b * b) % 7 < 3, 1.0, -1.0) for b in range(n_planes)]
+    )
+
+
+def lsh_bucket_arrow(vec: Column, n_planes: int) -> Column:
+    """Sign-LSH bucket id via one Arrow-batched matmul per batch."""
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf("long")
+    def _bucket(v: pa.Array) -> pa.Array:
+        import numpy as np
+
+        if not len(v):
+            return pa.array([], pa.int64())
+        x = _flat(v)
+        s = x @ _plane_matrix(n_planes, x.shape[1]).T
+        bits = (s > 0).astype(np.int64)
+        return pa.array(bits @ (np.int64(1) << np.arange(n_planes, dtype=np.int64)))
+
+    return _bucket(vec)
+
+
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """Row-wise cosine of two array columns via batched einsum."""
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf("double")
+    def _cos(x: pa.Array, y: pa.Array) -> pa.Array:
+        import numpy as np
+
+        if not len(x):
+            return pa.array([], pa.float64())
+        xa = _flat(x)
+        ya = _flat(y)
+        num = np.einsum("ij,ij->i", xa, ya)
+        den = np.linalg.norm(xa, axis=1) * np.linalg.norm(ya, axis=1)
+        return pa.array(num / den)
+
+    return _cos(a, b)
+
+
+def _cosine_kernel(kernel: str):
+    if kernel == "arrow":
+        return cosine_arrow
+    if kernel == "expr":
+        return cosine
+    raise ValueError(f"unknown kernel {kernel!r} (expected 'expr' or 'arrow')")
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -148,6 +235,7 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     n_vectors: int | None = None,
+    kernel: str = "expr",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
     Same output shape as cosine_topk (recall < 1 by design).
@@ -159,18 +247,22 @@ def cosine_topk_lsh(
     ``n_vectors`` supplies the corpus size for that auto-scaling (callers
     with catalog/manifest row counts pass it — at 10^10 rows a full
     ``count()`` job just to size the buckets is gratuitous); when absent
-    the operator counts once."""
+    the operator counts once. ``kernel="arrow"`` swaps both the bucket
+    computation and the candidate scoring onto the NumPy batch kernels
+    (see the Arrow-kernel note above) — the realistic-dimension path."""
     if n_planes is None:
         n_planes = auto_n_planes(corpus.count() if n_vectors is None else n_vectors)
+    bucket_fn = lsh_bucket_arrow if kernel == "arrow" else lsh_bucket
+    cos_fn = _cosine_kernel(kernel)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        lsh_bucket(F.col(vec_col).cast("array<double>"), n_planes).alias("_bkt"),
+        bucket_fn(F.col(vec_col).cast("array<double>"), n_planes).alias("_bkt"),
     )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qv"),
-        lsh_bucket(F.col(vec_col).cast("array<double>"), n_planes).alias("_bkt"),
+        bucket_fn(F.col(vec_col).cast("array<double>"), n_planes).alias("_bkt"),
     )
     scored = (
         c.join(F.broadcast(q), "_bkt")
@@ -179,7 +271,7 @@ def cosine_topk_lsh(
             query_id_col,
             "neighbor_id",
             F.round(
-                cosine(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")), 6
+                cos_fn(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")), 6
             ).alias("cos_sim"),
         )
     )
@@ -193,6 +285,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_vectors: int | None = None,
+    kernel: str = "expr",
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """IVF coarse quantizer: k-means with deterministic seeding (every
     (N/k)-th vector by id order — no RNG, reproducible across runs) and
@@ -200,7 +293,11 @@ def ivf_assign(
     centroid table, re-center via groupBy mean). Returns (corpus + `_cell`
     column, centroid list). At 10^9 vectors the assign pass is map-only
     over the scan; only k×dim floats move to the driver per iteration.
-    Ties in the argmin break toward the lowest cell index."""
+    Ties in the argmin break toward the lowest cell index.
+    ``kernel="arrow"`` runs the assign step as a batched NumPy GEMM
+    (see the Arrow-kernel note above)."""
+    if kernel not in ("expr", "arrow"):
+        raise ValueError(f"unknown kernel {kernel!r} (expected 'expr' or 'arrow')")
     v = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
     n = v.count() if n_vectors is None else n_vectors
     stride = max(n // n_centroids, 1)
@@ -225,7 +322,30 @@ def ivf_assign(
         )
     cents = [(i, list(r["_v"])) for i, r in enumerate(seed_rows)]
 
+    def assign_arrow(df: DataFrame, centroids) -> DataFrame:
+        # Arrow kernel: the k×dim centroid matrix closes over the UDF and
+        # each Arrow batch runs ONE |batch|×dim @ dim×k GEMM + argmin —
+        # map-only, no crossJoin fan-out, BLAS throughput. np.argmin's
+        # lowest-index tie-break matches the expr kernel's ORDER.
+        import numpy as np
+        from pyspark.sql.functions import arrow_udf
+
+        cmat = np.array([list(c) for _i, c in centroids])
+        c_sq = (cmat * cmat).sum(axis=1)
+
+        @arrow_udf("int")
+        def _cell(vs: pa.Array) -> pa.Array:
+            if not len(vs):
+                return pa.array([], pa.int32())
+            x = _flat(vs)
+            d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cmat.T) + c_sq[None, :]
+            return pa.array(np.argmin(d2, axis=1).astype("int32"))
+
+        return df.withColumn("_cell", _cell(F.col("_v")))
+
     def assign(df: DataFrame, centroids) -> DataFrame:
+        if kernel == "arrow":
+            return assign_arrow(df, centroids)
         # Cell assignment via broadcast-centroid join + two-phase argmin —
         # the same shape as the probe path below, NOT k literal distance
         # columns + a k-deep CASE chain (correct at k=8, but Catalyst
@@ -258,9 +378,7 @@ def ivf_assign(
             .select(*df.columns, "_cell")
         )
 
-    dim = len(cents[0][1])
-    for _it in range(n_iters):
-        assigned = assign(v, cents)
+    def recenter_rows(assigned: DataFrame):
         # Lloyd re-centering via posexplode → (_cell, pos) mean → k×dim
         # NARROW rows to the driver. The alternative — one avg(_v[d])
         # aggregate expression per dimension — plans O(dim) expressions:
@@ -269,12 +387,62 @@ def ivf_assign(
         # as the fixed per-centroid CASE chain this module already
         # removed). The explode shuffles (cell, pos, value) triples —
         # map-side combinable avg, uniform keys, payload never sorted.
-        rows = (
+        return (
             assigned.select("_cell", F.posexplode("_v").alias("_pos", "_x"))
             .groupBy("_cell", "_pos")
             .agg(F.avg("_x").alias("_m"))
             .collect()
         )
+
+    def recenter_rows_arrow(assigned: DataFrame):
+        # Arrow partial reduction: each Arrow batch collapses to ≤k
+        # (cell, sum-vector, count) rows via one numpy groupby-sum —
+        # ~k × #batches rows downstream instead of rows × dim exploded
+        # triples (at dim 1536 / 10^5 vectors the exploded recenter IS the
+        # IVF wall: 153M-row aggregations per Lloyd step). The tiny
+        # partials then posexplode (k·#batches·dim rows, ~10^6) into the
+        # same (cell, pos) weighted mean: sum(_x)/sum(_n) — every partial
+        # appears exactly once per pos, so sum(_n) per (cell,pos) is the
+        # cell's total count.
+        def combine(batches):
+            import numpy as np
+            import pyarrow as pa
+
+            for b in batches:
+                n = b.num_rows
+                if not n:
+                    continue
+                cells = np.asarray(b.column(0))
+                x = _flat(b.column(1))
+                out_c, out_s, out_n = [], [], []
+                for c in np.unique(cells):
+                    m = cells == c
+                    out_c.append(int(c))
+                    out_s.append(x[m].sum(axis=0))
+                    out_n.append(int(m.sum()))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_c, pa.int32()),
+                        pa.array([s.tolist() for s in out_s], pa.list_(pa.float64())),
+                        pa.array(out_n, pa.int64()),
+                    ],
+                    ["_cell", "_sum", "_n"],
+                )
+
+        partial = assigned.select("_cell", "_v").mapInArrow(
+            combine, "_cell int, _sum array<double>, _n long"
+        )
+        return (
+            partial.select("_cell", "_n", F.posexplode("_sum").alias("_pos", "_x"))
+            .groupBy("_cell", "_pos")
+            .agg((F.sum("_x") / F.sum("_n")).alias("_m"))
+            .collect()
+        )
+
+    dim = len(cents[0][1])
+    for _it in range(n_iters):
+        assigned = assign(v, cents)
+        rows = (recenter_rows_arrow if kernel == "arrow" else recenter_rows)(assigned)
         acc: dict[int, dict[int, float]] = {}
         for r in rows:
             acc.setdefault(r["_cell"], {})[r["_pos"]] = r["_m"]
@@ -299,6 +467,7 @@ def cosine_topk_ivf(
     assigned: DataFrame | None = None,
     cents: list[tuple[int, list[float]]] | None = None,
     n_vectors: int | None = None,
+    kernel: str = "expr",
 ) -> DataFrame:
     """Approximate top-k via IVF: queries score only against the n_probe
     nearest cells' vectors (the inverted-file scale path — at 10^9 vectors
@@ -315,8 +484,9 @@ def cosine_topk_ivf(
     if assigned is None or cents is None:
         assigned, cents = ivf_assign(
             corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
-            n_vectors=n_vectors,
+            n_vectors=n_vectors, kernel=kernel,
         )
+    cos_fn = _cosine_kernel(kernel)
     spark = corpus.sparkSession
 
     cent_df = spark.createDataFrame(
@@ -346,7 +516,7 @@ def cosine_topk_ivf(
         .select(
             query_id_col,
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("_qv"), F.col(vec_col).cast("array<double>")), 6).alias("cos_sim"),
+            F.round(cos_fn(F.col("_qv"), F.col(vec_col).cast("array<double>")), 6).alias("cos_sim"),
         )
     )
     return _topk_per_query(scored, query_id_col, k)
@@ -359,6 +529,7 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_vectors: int | None = None,
+    kernel: str = "expr",
 ) -> DataFrame:
     """Near-duplicate vector pairs (cos ≥ threshold), LSH-blocked: pairs
     are only compared within a bucket — at ≥0.95 cosine the sign vectors
@@ -367,16 +538,18 @@ def embedding_near_duplicates(
     ``n_vectors`` (catalog/manifest row count) makes that count-free."""
     if n_planes is None:
         n_planes = auto_n_planes(df.count() if n_vectors is None else n_vectors)
+    bucket_fn = lsh_bucket_arrow if kernel == "arrow" else lsh_bucket
+    cos_fn = _cosine_kernel(kernel)
     v = df.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),
-        lsh_bucket(F.col(vec_col).cast("array<double>"), n_planes).alias("_bkt"),
+        bucket_fn(F.col(vec_col).cast("array<double>"), n_planes).alias("_bkt"),
     )
     a = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_bkt")
     b = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "_bkt")
     return (
         a.join(b, "_bkt")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"))
+        .select("id_a", "id_b", F.round(cos_fn(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )

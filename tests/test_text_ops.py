@@ -502,3 +502,42 @@ def test_ann_plan_width_dim_independent(spark):
 
     small, big = plan_chars(8), plan_chars(1536)
     assert big < small * 1.5 + 2000, (small, big)
+
+
+def test_ann_arrow_kernel_equivalence(spark, vecs):
+    """The Arrow/NumPy kernels (batched GEMM) must produce the SAME
+    results as the expression kernels on clearly-separated vectors (the
+    two differ only in float summation order, which can matter only on
+    knife-edge sign/argmin boundaries absent here): identical top-k
+    rankings, identical IVF cell assignments and centroids, identical
+    near-dup pair sets."""
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for fn, kw in (
+        (similarity.cosine_topk, dict(k=2)),
+        (similarity.cosine_topk_lsh, dict(k=2, n_planes=4)),
+        (similarity.cosine_topk_ivf, dict(k=2, n_centroids=2, n_probe=1)),
+    ):
+        expr = rows(fn(vecs, q, kernel="expr", **kw))
+        arrow = rows(fn(vecs, q, kernel="arrow", **kw))
+        assert expr == arrow, fn.__name__
+
+    e_pairs = rows(similarity.embedding_near_duplicates(vecs, threshold=0.99, n_planes=4))
+    a_pairs = rows(
+        similarity.embedding_near_duplicates(vecs, threshold=0.99, n_planes=4, kernel="arrow")
+    )
+    assert e_pairs == a_pairs
+
+    ae, ce = similarity.ivf_assign(vecs, n_centroids=2)
+    aa, ca = similarity.ivf_assign(vecs, n_centroids=2, kernel="arrow")
+    assert {(r["vec_id"], r["_cell"]) for r in ae.collect()} == {
+        (r["vec_id"], r["_cell"]) for r in aa.collect()
+    }
+    for (ie, ve), (ia, va) in zip(ce, ca):
+        assert ie == ia
+        assert all(abs(x - y) < 1e-9 for x, y in zip(ve, va))

@@ -48,6 +48,7 @@ def synth_vectors(spark, n: int, dim: int, out: str):
 def main() -> None:
     n = int(os.environ.get("ANN_N", "100000"))
     dim = int(os.environ.get("ANN_DIM", "1536"))
+    kernel = os.environ.get("ANN_KERNEL", "expr")
     spark = bench.build_spark(bench.CPUS)
     from debezium_connector_cockroachdb_spark.operators import similarity
 
@@ -58,9 +59,11 @@ def main() -> None:
         F.col("vec_id").alias("query_id"), "embedding"
     )
 
-    out = {"dim": dim, "n": n, "cpus": bench.CPUS}
+    out = {"dim": dim, "n": n, "cpus": bench.CPUS, "kernel": kernel}
 
-    lsh = similarity.cosine_topk_lsh(vecs, queries, k=10, n_planes=None, n_vectors=n)
+    lsh = similarity.cosine_topk_lsh(
+        vecs, queries, k=10, n_planes=None, n_vectors=n, kernel=kernel
+    )
     out["plan_chars_lsh"] = len(lsh._jdf.queryExecution().optimizedPlan().toString())
     t0 = time.time()
     out["lsh_rows"] = lsh.count()
@@ -68,7 +71,7 @@ def main() -> None:
 
     t0 = time.time()
     ivf = similarity.cosine_topk_ivf(
-        vecs, queries, k=10, n_centroids=64, n_probe=4, n_vectors=n
+        vecs, queries, k=10, n_centroids=64, n_probe=4, n_vectors=n, kernel=kernel
     )
     out["plan_chars_ivf"] = len(ivf._jdf.queryExecution().optimizedPlan().toString())
     out["ivf_rows"] = ivf.count()
