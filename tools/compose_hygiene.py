@@ -57,8 +57,13 @@ def main() -> None:
         stages[name] = {"secs": round(time.time() - t0, 2), "rows": n}
         return out
 
-    # 1) curation: quality/lang/length gates, computed inline so `text`
-    #    rides through (map-only — no join back onto the corpus)
+    # 1) curation: quality/length gates, computed inline so `text` rides
+    #    through (map-only — no join back onto the corpus). No language
+    #    gate here: the organic synth letter-rotates copies, which is
+    #    rotation-invariant for the structural quality score but (by
+    #    design) defeats the stopword language id — gating on lang would
+    #    collapse every factor back to the copy-0 corpus and void the
+    #    scale rehearsal.
     t = F.col("text")
     curated = stage(
         "curation",
@@ -66,9 +71,8 @@ def main() -> None:
             "doc_id", "text",
             text.token_count(t).alias("n_tokens"),
             text.quality_score(t).alias("quality"),
-            text.lang_id(t).alias("lang_pred"),
         ).filter(
-            (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en") & (F.col("n_tokens") >= 5)
+            (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 5)
         ).select("doc_id", "text", "n_tokens"),
         f"{scratch}/curated",
     )
@@ -78,15 +82,19 @@ def main() -> None:
         "exact_dedup", text_dedup.dedup_exact(curated), f"{scratch}/deduped"
     )
 
-    # 3) decontamination vs an eval split (every 50th ORIGINAL document);
-    #    drop docs with >50% shingle overlap
+    # 3) decontamination vs an eval split (every 50th ORIGINAL document):
+    #    13-char shingles (short n-grams are ubiquitous English and would
+    #    flag everything), drop docs with ≥80% overlap — the eval docs'
+    #    own corpus copies hit 100% and are removed, unrelated docs share
+    #    almost no 13-grams and survive
     n_base = spark.read.parquet(f"{bench.SF_DIR}/documents.parquet").count()
     evalset = docs.filter((F.col("doc_id") < n_base) & (F.col("doc_id") % 50 == 0))
-    contam = text_dedup.benchmark_contamination(deduped, evalset)
+    contam = text_dedup.benchmark_contamination(deduped, evalset, n=13)
     clean = stage(
         "decontamination",
         deduped.join(
-            contam.filter(F.col("n_contaminated") * 2 <= F.col("n_shingles")).select("doc_id"),
+            contam.filter(F.col("n_contaminated") * 5 < F.col("n_shingles") * 4)
+            .select("doc_id"),
             "doc_id",
         ),
         f"{scratch}/clean",
