@@ -182,13 +182,16 @@ def synth_scale_dir(spark, factor: int) -> str:
     preserved exactly — a k-fold corpus then carries ~k× the base pair
     count instead of the ~k²/2 inflation plain duplication caused (every
     original spawned k-choose-2 cross-copy duplicate pairs, which forced
-    a disclosure caveat on every dedup trend row). Embeddings circular-
-    shift by i components per copy: within-copy cosine structure is
-    exactly preserved (a shared rotation is an isometry of the dot
-    product), cross-copy vectors decorrelate."""
+    a disclosure caveat on every dedup trend row). Embeddings get a
+    per-copy deterministic ±1 SIGN PATTERN multiplied element-wise:
+    within one copy every pairwise dot product is exactly preserved
+    (s_j² = 1 — a reflection isometry), while cross-copy cosines become
+    sign-scrambled sums that decorrelate regardless of any periodic
+    structure in the base vectors (a circular shift, the previous scheme,
+    can stay correlated on structured data)."""
     from pyspark.sql import functions as F
 
-    out = os.path.join(REPO, "_work", f"sf_synth_organic_x{factor}")
+    out = os.path.join(REPO, "_work", f"sf_synth_organic2_x{factor}")
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
     os.makedirs(out, exist_ok=True)
@@ -215,16 +218,13 @@ def synth_scale_dir(spark, factor: int) -> str:
                     ),
                 )
             if name == "embeddings" and i > 0:
-                dim_row = src.select(F.size("embedding").alias("d")).first()
-                shift = i % max(int(dim_row["d"]), 1)
-                if shift:
-                    p = p.withColumn(
-                        "embedding",
-                        F.concat(
-                            F.slice("embedding", shift + 1, int(dim_row["d"]) - shift),
-                            F.slice("embedding", 1, shift),
-                        ),
-                    )
+                sign = lambda j, _i=i: F.when(  # noqa: E731
+                    F.pmod(F.xxhash64(F.lit(_i), j), F.lit(2)) == 0, F.lit(1.0)
+                ).otherwise(F.lit(-1.0))
+                p = p.withColumn(
+                    "embedding",
+                    F.transform("embedding", lambda x, j: (x * sign(j)).cast("float")),
+                )
             parts.append(p)
         df = parts[0]
         for p in parts[1:]:
@@ -307,6 +307,22 @@ def main() -> None:
             secs.append(round(time.time() - t0, 3))
         timings["ann_cosine_topk_lsh_auto"] = min(secs)
         op_repeat_secs["ann_cosine_topk_lsh_auto"] = secs
+
+        # embedding near-dup on the SCALE configuration: auto-scaled
+        # planes + count-free sizing (the oracle-gated row pins fixed
+        # n_planes=3 for reproducibility, which is the documented
+        # fixed-plane trap once the corpus grows — this row is the shape
+        # that holds at 10^9 vectors)
+        n_emb = emb.count()
+        secs = []
+        for _ in range(op_repeats):
+            t0 = time.time()
+            similarity.embedding_near_duplicates(
+                emb, threshold=0.4, n_planes=None, n_vectors=n_emb
+            ).count()
+            secs.append(round(time.time() - t0, 3))
+        timings["embedding_neardup_auto"] = min(secs)
+        op_repeat_secs["embedding_neardup_auto"] = secs
 
         # streaming-dedup engine A/B: identical workload to the gated
         # `stream_dedup` row but through the JVM-native dropDuplicates
