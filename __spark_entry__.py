@@ -49,15 +49,61 @@ def _canon_state(state: DataFrame) -> DataFrame:
     )
 
 
-def _run_cdc_replay(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
-    """Flagship: deterministic changefeed log (scaled off the sf dir's
-    documents table) replayed through snapshot + streaming phases into the
-    snapshot table; returns the canonical final user-facing state."""
+def _stage_replay_inputs(spark: SparkSession, sf_dir: str, cfg, base: str):
+    """Shared staging for the replay gates: write the deterministic log +
+    seed table + freshness marker under ``base`` and HIDE the v2 registry
+    descriptor, returning (log_dir, seed_dir, land_ddl) where ``land_ddl()``
+    moves v2 back into the registry.
+
+    Hiding v2 is load-bearing for evolution coverage: ``write_log`` dumps
+    both registry versions up front and ``CDCPipeline.__init__`` loads the
+    LATEST version, so without the hide/land dance the table would be
+    CREATED at v2 and neither the poll nor the exact drift path could ever
+    fire — the gates would silently stop covering E1–E3. Callers create
+    the pipeline (init reads v1), call ``land_ddl()`` (the DDL arriving
+    while the connector runs, as in CockroachDBRegressionScenariosIT), and
+    then stream."""
     from debezium_connector_cockroachdb_spark.sources.generator import (
-        GeneratorConfig,
         seed_table,
         write_log,
     )
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    log_dir = os.path.join(base, "log")
+    seed_dir = os.path.join(base, "seed")
+    write_log(spark, cfg, log_dir)
+    # stage the seed so the oracle reads the identical snapshot input
+    seed_table(spark, cfg).write.mode("overwrite").parquet(seed_dir)
+    # freshness marker: the oracle asserts the staged data was generated
+    # from the SAME sf dir it is being compared against (the log scales off
+    # the documents count) — a stale staging dir fails loudly instead of
+    # silently comparing the wrong input
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    _pq.write_table(
+        _pa.table({"sf_dir": [sf_dir], "n_docs": [n_docs]}),
+        os.path.join(base, "marker.parquet"),
+    )
+    v2 = os.path.join(log_dir, "_schema", "v2.json")
+    pending = os.path.join(base, "v2.json.pending")
+    os.rename(v2, pending)
+
+    def land_ddl() -> None:
+        os.rename(pending, v2)
+
+    return log_dir, seed_dir, land_ddl
+
+
+def _run_cdc_replay(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
+    """Flagship: deterministic changefeed log (scaled off the sf dir's
+    documents table) replayed through snapshot + streaming phases into the
+    snapshot table; returns the canonical final user-facing state. The v2
+    registry DDL lands AFTER pipeline init (see _stage_replay_inputs), so
+    the poll drift path (E2) genuinely fires mid-run."""
+    from debezium_connector_cockroachdb_spark.sources.generator import GeneratorConfig
     from debezium_connector_cockroachdb_spark.streaming.pipeline import (
         CDCPipeline,
         IngestConfig,
@@ -74,24 +120,7 @@ def _run_cdc_replay(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
         hot_key_pct=10,
         evolve_at=max(n_docs * 5, 50),
     )
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base, exist_ok=True)
-    log_dir = os.path.join(base, "log")
-    seed_dir = os.path.join(base, "seed")
-    write_log(spark, cfg, log_dir)
-    # stage the seed so the oracle reads the identical snapshot input
-    seed_table(spark, cfg).write.mode("overwrite").parquet(seed_dir)
-    # freshness marker: the oracle asserts the staged data was generated
-    # from the SAME sf dir it is being compared against (the log scales off
-    # the documents count) — a stale staging dir fails loudly instead of
-    # silently comparing the wrong input
-    import pyarrow as _pa
-    import pyarrow.parquet as _pq
-
-    _pq.write_table(
-        _pa.table({"sf_dir": [sf_dir], "n_docs": [n_docs]}),
-        os.path.join(base, "marker.parquet"),
-    )
+    log_dir, seed_dir, land_ddl = _stage_replay_inputs(spark, sf_dir, cfg, base)
     icfg = IngestConfig(
         log_dir=log_dir,
         table_path=os.path.join(base, "table"),
@@ -101,8 +130,13 @@ def _run_cdc_replay(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
         num_buckets=16,
         max_files_per_trigger=2,
     )
-    pipe = CDCPipeline(spark, icfg)
+    pipe = CDCPipeline(spark, icfg)  # init at registry v1: table lacks lang
+    land_ddl()  # ADD COLUMN lands while the connector runs
     pipe.run_to_completion(seed_df=spark.read.parquet(seed_dir))
+    if pipe.registry_version != 2 or "lang" not in [f.name for f in pipe.table.schema.fields]:
+        # the gate exists to cover evolution — refuse to return a state
+        # that never exercised it (would still hash-match the oracle)
+        raise AssertionError("cdc_full_replay: schema evolution never fired")
     return _canon_state(pipe.read_state())
 
 
@@ -123,7 +157,7 @@ WITH log AS (
              = (SELECT count(*) FROM documents)
         THEN TRUE
         ELSE error('stale replay staging at {base}: run the Spark '
-                   'cdc_full_replay query for this sf dir first')
+                   '{query} query for this sf dir first')
         END
 ),
 seed AS (SELECT * FROM read_parquet('{base}/seed/*.parquet')),
@@ -162,7 +196,9 @@ seed_keep AS (
 SELECT * FROM final_ev UNION ALL SELECT * FROM seed_keep
 """
 
-_REPLAY_ORACLE_SQL = _REPLAY_ORACLE_TMPL.format(base=_REPLAY_BASE)
+_REPLAY_ORACLE_SQL = _REPLAY_ORACLE_TMPL.format(
+    base=_REPLAY_BASE, query="cdc_full_replay"
+)
 
 # dedicated E1–E3 staging dir (independent of the flagship's so the two
 # gates never clobber each other's staged logs mid-comparison)
@@ -186,11 +222,7 @@ def _run_schema_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     from debezium_connector_cockroachdb_spark.functions.converters import ColumnSpec
-    from debezium_connector_cockroachdb_spark.sources.generator import (
-        GeneratorConfig,
-        seed_table,
-        write_log,
-    )
+    from debezium_connector_cockroachdb_spark.sources.generator import GeneratorConfig
     from debezium_connector_cockroachdb_spark.streaming.pipeline import (
         CDCPipeline,
         IngestConfig,
@@ -209,19 +241,7 @@ def _run_schema_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         evolve_at=max(n_docs * 2, 50),
     )
     base = _EVOLUTION_BASE
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base, exist_ok=True)
-    log_dir = os.path.join(base, "log")
-    seed_dir = os.path.join(base, "seed")
-    write_log(spark, cfg, log_dir)
-    seed_table(spark, cfg).write.mode("overwrite").parquet(seed_dir)
-    import pyarrow as _pa
-    import pyarrow.parquet as _pq
-
-    _pq.write_table(
-        _pa.table({"sf_dir": [sf_dir], "n_docs": [n_docs]}),
-        os.path.join(base, "marker.parquet"),
-    )
+    log_dir, seed_dir, land_ddl = _stage_replay_inputs(spark, sf_dir, cfg, base)
     icfg = IngestConfig(
         log_dir=log_dir,
         table_path=os.path.join(base, "table"),
@@ -231,8 +251,14 @@ def _run_schema_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         drift_mode="exact",
         collect_metrics=False,
     )
-    pipe = CDCPipeline(spark, icfg)
+    pipe = CDCPipeline(spark, icfg)  # init at registry v1: table lacks lang
+    land_ddl()  # the DDL lands while the connector runs
     pipe.run_to_completion(seed_df=spark.read.parquet(seed_dir))
+    if pipe.registry_version != 2:
+        # exact mode must have DETECTED the drift from the after-image
+        # field sets and refreshed from the registry (E1/E2) — refuse to
+        # return a state that never exercised the path this gate names
+        raise AssertionError("schema_evolution_replay: exact-mode drift never fired")
 
     # post-replay DDL with defaults: ADD COLUMN quality STRING DEFAULT
     # 'UNSCORED', score INT8 DEFAULT 7 — metadata-only commit; every row on
@@ -260,7 +286,7 @@ def _run_schema_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EVOLUTION_ORACLE_SQL = (
     "SELECT q.*, 'UNSCORED' AS quality, CAST(7 AS BIGINT) AS score FROM ("
-    + _REPLAY_ORACLE_TMPL.format(base=_EVOLUTION_BASE)
+    + _REPLAY_ORACLE_TMPL.format(base=_EVOLUTION_BASE, query="schema_evolution_replay")
     + ") q"
 )
 

@@ -176,13 +176,18 @@ def synth_scale_dir(spark, factor: int) -> str:
     used for timing trends, never for correctness oracles.
 
     Growth is ORGANIC, not duplicated: copy i's document text is
-    letter-rotated (Caesar shift i·7 mod 26, upper+lower) so its char
-    shingles share nothing with any other copy while word lengths,
-    whitespace, punctuation and the WITHIN-copy duplicate rate are
-    preserved exactly — a k-fold corpus then carries ~k× the base pair
+    letter-rotated (Caesar shift i·7 mod 26, upper+lower) AND
+    digit-rotated (shift i·3 mod 10), so two copies carry identical text
+    only when BOTH rotations coincide — period lcm(26,10) = 130; below
+    factor 130 no two copies share letterful/digitful shingles, while word
+    lengths, whitespace, punctuation and the WITHIN-copy duplicate rate
+    are preserved exactly. A k-fold corpus then carries ~k× the base pair
     count instead of the ~k²/2 inflation plain duplication caused (every
     original spawned k-choose-2 cross-copy duplicate pairs, which forced
-    a disclosure caveat on every dedup trend row). Embeddings get a
+    a disclosure caveat on every dedup trend row). Punctuation-only
+    shingles still repeat across copies at any factor — same-as-real-data
+    behavior (ubiquitous shingles are exactly what df-blocking drops).
+    Embeddings get a
     per-copy deterministic ±1 SIGN PATTERN multiplied element-wise:
     within one copy every pairwise dot product is exactly preserved
     (s_j² = 1 — a reflection isometry), while cross-copy cosines become
@@ -191,7 +196,7 @@ def synth_scale_dir(spark, factor: int) -> str:
     can stay correlated on structured data)."""
     from pyspark.sql import functions as F
 
-    out = os.path.join(REPO, "_work", f"sf_synth_organic2_x{factor}")
+    out = os.path.join(REPO, "_work", f"sf_synth_organic3_x{factor}")
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
     os.makedirs(out, exist_ok=True)
@@ -210,11 +215,16 @@ def synth_scale_dir(spark, factor: int) -> str:
             p = src.withColumn(id_col, (F.col(id_col) + F.lit(i * n)).cast(id_kind))
             if name == "documents" and i > 0:
                 rot = (i * 7) % 26
+                dig = (i * 3) % 10
                 shifted = _ALPHA[rot:] + _ALPHA[:rot]
+                digits = "0123456789"
+                shifted_dig = digits[dig:] + digits[:dig]
                 p = p.withColumn(
                     "text",
                     F.translate(
-                        "text", _ALPHA + _ALPHA.upper(), shifted + shifted.upper()
+                        "text",
+                        _ALPHA + _ALPHA.upper() + digits,
+                        shifted + shifted.upper() + shifted_dig,
                     ),
                 )
             if name == "embeddings" and i > 0:

@@ -85,7 +85,7 @@ def cosine_topk(
     collide). Output: (query_id, neighbor_id, rank, cos_sim).
     ``kernel="arrow"`` scores via the NumPy batch kernel (see the
     Arrow-kernel note below)."""
-    cos_fn = _cosine_kernel(kernel) if kernel != "expr" else cosine
+    cos_fn = _cosine_kernel(kernel)
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qv"),
@@ -165,10 +165,44 @@ def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
 # non-null).
 
 def _flat(v, dim_hint: int = -1):
-    """pyarrow list-of-double Array → (n, dim) ndarray, zero-copy."""
+    """pyarrow list-of-double Array → (n, dim) ndarray, zero-copy.
+    FAST PATH ONLY: caller has verified non-null, fixed-width input."""
     import numpy as np
 
     return np.asarray(v.flatten()).reshape(len(v), dim_hint)
+
+
+def _row_lengths(v):
+    """Per-row lengths of a pyarrow list array; -1 marks a NULL row.
+    The kernels use this to degrade to null output on null/ragged rows —
+    matching the expression kernels' behavior instead of crashing the task
+    on a reshape mismatch (a clean batch takes the zero-copy fast path)."""
+    import numpy as np
+
+    return np.asarray(v.value_lengths().fill_null(-1))
+
+
+def _gather(v, mask, lens):
+    """Rows of ``v`` selected by ``mask`` (all the same length) as an
+    (m, d) matrix. ``flatten()`` drops null entries but keeps ragged ones,
+    so row starts are rebuilt from the non-null rows' cumulative lengths."""
+    import numpy as np
+
+    flat = np.asarray(v.flatten())
+    keep = lens >= 0
+    keep_lens = lens[keep]
+    starts = np.concatenate(([0], np.cumsum(keep_lens)[:-1]))
+    rows = [
+        flat[s : s + ln]
+        for s, ln, ok in zip(starts, keep_lens, mask[keep])
+        if ok
+    ]
+    return np.stack(rows) if rows else np.empty((0, 0))
+
+
+def _clean(lens) -> bool:
+    """True when every row is non-null and one fixed width."""
+    return bool(len(lens)) and bool((lens == lens[0]).all()) and int(lens[0]) >= 0
 
 
 def _plane_matrix(n_planes: int, dim: int):
@@ -189,12 +223,25 @@ def lsh_bucket_arrow(vec: Column, n_planes: int) -> Column:
     def _bucket(v: pa.Array) -> pa.Array:
         import numpy as np
 
-        if not len(v):
+        lens = _row_lengths(v)
+        n = len(lens)
+        if not n:
             return pa.array([], pa.int64())
-        x = _flat(v)
-        s = x @ _plane_matrix(n_planes, x.shape[1]).T
-        bits = (s > 0).astype(np.int64)
-        return pa.array(bits @ (np.int64(1) << np.arange(n_planes, dtype=np.int64)))
+        weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+
+        def vals_for(x):
+            bits = ((x @ _plane_matrix(n_planes, x.shape[1]).T) > 0).astype(np.int64)
+            return bits @ weights
+
+        if _clean(lens):
+            return pa.array(vals_for(_flat(v)))
+        # dirty batch: bucket each row at ITS length (the expr kernel folds
+        # over whatever length the row has); null rows stay null
+        out = np.empty(n, dtype=object)
+        for d in np.unique(lens[lens >= 0]):
+            m = lens == d
+            out[m] = list(vals_for(_gather(v, m, lens)))
+        return pa.array(out.tolist(), pa.int64())
 
     return _bucket(vec)
 
@@ -207,13 +254,28 @@ def cosine_arrow(a: Column, b: Column) -> Column:
     def _cos(x: pa.Array, y: pa.Array) -> pa.Array:
         import numpy as np
 
-        if not len(x):
+        la, lb = _row_lengths(x), _row_lengths(y)
+        n = len(la)
+        if not n:
             return pa.array([], pa.float64())
-        xa = _flat(x)
-        ya = _flat(y)
-        num = np.einsum("ij,ij->i", xa, ya)
-        den = np.linalg.norm(xa, axis=1) * np.linalg.norm(ya, axis=1)
-        return pa.array(num / den)
+
+        def vals_for(xs, ys):
+            num = np.einsum("ij,ij->i", xs, ys)
+            den = np.linalg.norm(xs, axis=1) * np.linalg.norm(ys, axis=1)
+            return num / den
+
+        if _clean(la) and _clean(lb) and la[0] == lb[0]:
+            return pa.array(vals_for(_flat(x), _flat(y)))
+        # dirty batch: a pair is computable iff both sides are non-null and
+        # the SAME length (stricter than the expr kernel's silent zip_with
+        # truncation on mismatched widths — a cross-width cosine is
+        # undefined, so it nulls here); grouped by pair length for the GEMM
+        valid = (la >= 0) & (la == lb)
+        out = np.empty(n, dtype=object)
+        for d in np.unique(la[valid]):
+            m = valid & (la == d)
+            out[m] = list(vals_for(_gather(x, m, la), _gather(y, m, lb)))
+        return pa.array(out.tolist(), pa.float64())
 
     return _cos(a, b)
 
@@ -335,11 +397,25 @@ def ivf_assign(
 
         @arrow_udf("int")
         def _cell(vs: pa.Array) -> pa.Array:
-            if not len(vs):
+            lens = _row_lengths(vs)
+            n = len(lens)
+            if not n:
                 return pa.array([], pa.int32())
-            x = _flat(vs)
-            d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cmat.T) + c_sq[None, :]
-            return pa.array(np.argmin(d2, axis=1).astype("int32"))
+
+            def cells_for(x):
+                d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cmat.T) + c_sq[None, :]
+                return np.argmin(d2, axis=1).astype("int32")
+
+            if _clean(lens) and int(lens[0]) == cmat.shape[1]:
+                return pa.array(cells_for(_flat(vs)))
+            # dirty batch: only rows matching the centroid width are
+            # assignable; null/ragged rows get a null cell (excluded from
+            # the index rather than a garbage truncated distance)
+            valid = lens == cmat.shape[1]
+            out = np.empty(n, dtype=object)
+            if valid.any():
+                out[valid] = list(cells_for(_gather(vs, valid, lens)))
+            return pa.array(out.tolist(), pa.int32())
 
         return df.withColumn("_cell", _cell(F.col("_v")))
 
@@ -412,8 +488,18 @@ def ivf_assign(
                 n = b.num_rows
                 if not n:
                     continue
-                cells = np.asarray(b.column(0))
-                x = _flat(b.column(1))
+                lens = _row_lengths(b.column(1))
+                cells_all = np.asarray(b.column(0).fill_null(-1), dtype=np.int64)
+                # a non-null cell implies the assign kernel saw a row of the
+                # centroid width, so the selected rows stack uniformly
+                use = (cells_all >= 0) & (lens >= 0)
+                if not use.any():
+                    continue
+                if _clean(lens) and use.all():
+                    x = _flat(b.column(1))
+                else:
+                    x = _gather(b.column(1), use, lens)
+                cells = cells_all[use]
                 out_c, out_s, out_n = [], [], []
                 for c in np.unique(cells):
                     m = cells == c

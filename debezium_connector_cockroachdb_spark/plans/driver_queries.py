@@ -58,8 +58,14 @@ def _staged_shingles(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
     key = (sf_dir, n)
     path = _SHINGLE_STAGE.get(key)
     if path is None:
+        import hashlib
+
+        # the readable tag alone can collide ('/a/b_c' vs '/a/b/c' both
+        # flatten to 'a_b_c'); the digest makes the path injective in
+        # sf_dir so two datasets can never share a staging directory
         tag = sf_dir.strip("/").replace("/", "_")
-        path = os.path.join(_WORK, "shingle_cache", f"{tag}_n{n}")
+        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = os.path.join(_WORK, "shingle_cache", f"{tag}_{digest}_n{n}")
         text_dedup.shingle_table(_t(spark, sf_dir, "documents"), n=n).write.mode(
             "overwrite"
         ).parquet(path)

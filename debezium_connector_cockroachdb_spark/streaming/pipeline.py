@@ -343,12 +343,14 @@ class CDCPipeline:
             # key-set variants are few (schema changes are rare), so the
             # set stays tiny even on 10^7-row batches
             key_sets.alias("key_sets"),
-            # poison offsets for the quarantine path (X3): longs only —
-            # even a fully-poisoned 10^7-row batch collects ~80 MB once,
-            # and the dead-letter write then needs NO second parse (it
-            # filters the raw batch by offset). Collected only when a
-            # dead-letter table is configured — otherwise the list could
-            # never be consumed (same gating pattern as key_sets above).
+            # poison offsets for the quarantine path (X3): longs only,
+            # CAPPED at _BAD_SEQ_CAP (~800 KB) — within the cap the
+            # dead-letter write needs NO second parse (it filters the raw
+            # batch by offset); a batch with more malformed rows than the
+            # cap falls back to one executor-side parse-filter pass.
+            # Collected only when a dead-letter table is configured —
+            # otherwise the list could never be consumed (same gating
+            # pattern as key_sets above).
             self._bad_seqs_agg().alias("bad_seqs"),
         ).collect()[0]
 
@@ -493,7 +495,6 @@ class CDCPipeline:
             # is a parse-free filter over the raw batch — a pathological
             # all-poison batch still parses exactly once.
             if self.cfg.errors_path and n_malformed > 0:
-                bad = sorted(int(s) for s in (agg.get("bad_seqs") or []))
                 if n_malformed > _BAD_SEQ_CAP:
                     # collected list was capped: the offsets on hand are an
                     # arbitrary subset, so re-derive is_malformed with one
@@ -505,11 +506,13 @@ class CDCPipeline:
                         .select(F.col("seq").alias("offset"))
                     )
                     poison = raw.join(bad_df, "offset", "left_semi")
-                elif len(bad) <= 1000:
-                    poison = raw.filter(F.col("offset").isin(bad))
                 else:
-                    seq_df = self.spark.createDataFrame([(s,) for s in bad], "offset long")
-                    poison = raw.join(F.broadcast(seq_df), "offset", "left_semi")
+                    bad = sorted(int(s) for s in (agg.get("bad_seqs") or []))
+                    if len(bad) <= 1000:
+                        poison = raw.filter(F.col("offset").isin(bad))
+                    else:
+                        seq_df = self.spark.createDataFrame([(s,) for s in bad], "offset long")
+                        poison = raw.join(F.broadcast(seq_df), "offset", "left_semi")
                 poison.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
                     self.cfg.errors_path
                 )

@@ -86,9 +86,11 @@ def streaming_exact_dedup(
         if state_timeout_ms is not None:
             # JVM analogue of the processing-time state timeout: stamp
             # arrival time, watermark it, and let the state store evict
-            # fingerprints older than the horizon
+            # fingerprints older than the horizon — interval in
+            # milliseconds so the requested horizon is honored exactly
+            # (second-flooring would silently double a 500 ms timeout)
             keyed = keyed.withColumn("_ingest_ts", F.current_timestamp()).withWatermark(
-                "_ingest_ts", f"{max(state_timeout_ms, 1000) // 1000} seconds"
+                "_ingest_ts", f"{max(int(state_timeout_ms), 1)} milliseconds"
             )
             deduped = keyed.dropDuplicatesWithinWatermark(["fp"]).drop("_ingest_ts")
         else:

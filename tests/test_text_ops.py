@@ -541,3 +541,43 @@ def test_ann_arrow_kernel_equivalence(spark, vecs):
     for (ie, ve), (ia, va) in zip(ce, ca):
         assert ie == ia
         assert all(abs(x - y) < 1e-9 for x, y in zip(ve, va))
+
+
+def test_ann_arrow_kernel_null_and_ragged(spark):
+    """Arrow kernels must DEGRADE like the expression kernels on dirty
+    vectors, not crash the task on a reshape mismatch: null embeddings
+    yield null outputs; a ragged row still buckets at its own length
+    (expr folds whatever length it sees) but cross-width cosine is null."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, None),
+        (3, [1.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(1)
+    got = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id", similarity.lsh_bucket_arrow(F.col("embedding"), 4).alias("b")
+        ).collect()
+    }
+    assert got[2] is None
+    assert got[0] is not None and got[1] is not None and got[3] is not None
+    # ragged row buckets identically to the expr kernel at its own length
+    expr_b = df.filter(F.col("vec_id") == 3).select(
+        similarity.lsh_bucket(F.col("embedding"), 4).alias("b")
+    ).first()["b"]
+    assert got[3] == expr_b
+
+    pair = (
+        df.alias("a").crossJoin(df.alias("b")).select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            similarity.cosine_arrow(F.col("a.embedding"), F.col("b.embedding")).alias("c"),
+        )
+    )
+    cs = {(r["ia"], r["ib"]): r["c"] for r in pair.collect()}
+    assert cs[(0, 1)] is not None and cs[(0, 1)] > 0.9
+    assert cs[(0, 2)] is None      # null side
+    assert cs[(0, 3)] is None      # cross-width pair: undefined, nulled
+    assert cs[(3, 3)] is not None  # equal-width ragged pair computes

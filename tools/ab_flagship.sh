@@ -18,9 +18,15 @@ LZ4='{"spark.sql.parquet.compression.codec":"lz4","spark.io.compression.codec":"
 run() {
   local tag="$1"; shift
   echo "== $tag ==" >&2
-  local line
+  local line rc
   line=$(env "$@" BENCH_SKIP_OPERATORS=1 BENCH_WARMUP=1 BENCH_REPEATS=4 \
-        SPARK_GRAFT_CPUS=32 python bench.py 2>/dev/null | tail -1)
+        SPARK_GRAFT_CPUS=32 python bench.py 2>>"_work/ab_flagship_stderr.log" | tail -1)
+  rc=$?
+  if [ $rc -ne 0 ] || [ -z "$line" ]; then
+    echo "!! $tag FAILED (rc=$rc) — see _work/ab_flagship_stderr.log" >&2
+    printf '{"config":"%s","error":"bench failed rc=%d"}\n' "$tag" "$rc" >> "$OUT"
+    return
+  fi
   printf '{"config":"%s","result":%s}\n' "$tag" "$line" >> "$OUT"
 }
 
