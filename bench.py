@@ -152,6 +152,7 @@ OPERATOR_BENCH = [
     "dedup_exact",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "dedup_clusters",
     "simhash",
     "ann_cosine_topk",
     "ann_cosine_topk_lsh",

@@ -1,0 +1,199 @@
+"""Connected components over near-duplicate pair edges → dedup clusters.
+
+The pair generators (minhash_lsh_pairs, ngram_jaccard_pairs,
+simhash_near_duplicates, embedding_near_duplicates) emit EDGES; an actual
+deduplication needs the transitive closure — if A~B and B~C, all three are
+one cluster and exactly one survivor is kept. That closure is connected
+components, computed here with the alternating **large-star / small-star**
+algorithm (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii —
+"Connected Components in MapReduce and Beyond", ACM SoCC 2014): each half-
+iteration is one groupBy-min plus one join on the edge list, the edge set
+only ever shrinks toward stars, and convergence is O(log n) rounds even on
+pathological path graphs — unlike naive label propagation whose round count
+is the graph DIAMETER (a 10^6-long chain of near-dups would need 10^6
+shuffles; this needs ~20).
+
+Scale shape (the 100 TB story):
+
+* every half-iteration is ONE shuffle agg (min per node, map-side
+  combinable) + ONE shuffle join on the node id — uniform keys, no
+  broadcast of anything O(nodes);
+* the edge set is re-staged to parquet between iterations (alternating
+  directories) so the logical plan stays two operators deep instead of
+  growing by two joins per round — same lineage-truncation lesson as the
+  lake's parquet staging (sources/lake.py); no `.persist()` of O(edges)
+  state in executor memory;
+* convergence is detected with a constant-size signature aggregate
+  (count + sum of xxhash64) and then PROVEN by the star test — at a true
+  fixed point no edge target has an outgoing edge — so a signature
+  collision can never return a half-contracted clustering.
+
+Reference parity note: the CDC reference (debezium-connector-cockroachdb)
+has no graph operator; this belongs to the training-data suite the Spark
+engine adds on top (SURVEY.md §2 LLM-data operators).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetric(e: DataFrame) -> DataFrame:
+    """Both orientations of an undirected edge list (u,v)."""
+    return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _star(p: DataFrame, large: bool) -> DataFrame:
+    """One large-star (large=True) or small-star half-iteration over the
+    SYMMETRIC directed pair set ``p``.
+
+    m(u) = min(Γ(u) ∪ {u}). Large-star links every neighbor v > u to
+    m(u); small-star links every v ≤ u in Γ(u) ∪ {u} to m(u). Both
+    preserve connectivity; alternating them contracts every component to
+    a star centered at its minimum id (Kiveris et al. 2014, Thm 3)."""
+    mins = p.groupBy("u").agg(F.min("v").alias("_mn"))
+    m = F.least(F.col("u"), F.col("_mn"))
+    j = p.join(mins, "u")
+    if large:
+        out = j.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("u"), m.alias("v")
+        )
+    else:
+        out = j.filter(F.col("v") < F.col("u")).select(
+            F.col("v").alias("u"), m.alias("v")
+        )
+        # v = u itself is always in Γ(u) ∪ {u}: emit (u, m(u)) so a hub
+        # node keeps its pointer to the running minimum
+        out = out.unionByName(
+            mins.select(F.col("u"), F.least(F.col("u"), F.col("_mn")).alias("v"))
+        )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    node_col: str | None = None,
+    max_iter: int = 25,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """(node, component) for every node touched by ``edges`` — plus every
+    row of ``nodes`` (optional: isolated nodes become their own singleton
+    component). ``component`` is the MINIMUM node id reachable from
+    ``node``, so the mapping is deterministic and join-ready as a
+    canonical-survivor key.
+
+    ``scratch_dir``: stage the shrinking edge set to parquet between
+    iterations (alternating subdirectories) — required for real scale
+    (bounded plan depth, spill-to-disk instead of pinned memory). When
+    None, ``localCheckpoint`` truncates lineage instead (fine at test
+    scale, executor-storage-backed).
+
+    ``max_iter`` bounds the alternating rounds; 25 covers > 10^7-node
+    components (O(log n) convergence). Raises RuntimeError if the star
+    fixed point is not reached — never returns a half-contracted result."""
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _stage(df: DataFrame, i: int) -> DataFrame:
+        if scratch_dir:
+            path = os.path.join(scratch_dir, f"cc_{i % 2}")
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        return df.localCheckpoint(eager=True)
+
+    def _sig(df: DataFrame):
+        # constant-size fixed-point signature; a (astronomically unlikely)
+        # collision is caught by the star test below, never returned
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a long sum of 2^63-magnitude hashes
+            # overflows under ANSI mode on the second row
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    e = _stage(e, 0)
+    prev = _sig(e)
+    converged = prev[0] == 0
+    for i in range(1, max_iter + 1):
+        e = _star(_symmetric(_star(_symmetric(e), large=True)), large=False)
+        e = _stage(e, i)
+        cur = _sig(e)
+        if cur == prev:
+            # signature says fixed point — PROVE star-shape: no edge
+            # target may have an outgoing edge (targets are roots)
+            non_star = (
+                e.select(F.col("v").alias("u"))
+                .join(e.select("u").distinct(), "u", "left_semi")
+                .limit(1)
+                .count()
+            )
+            if non_star == 0:
+                converged = True
+                break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+        )
+
+    # at the star fixed point every edge is (member, root); roots map to
+    # themselves, and optional isolated nodes are their own component
+    member = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    out = member.unionByName(roots)
+    if nodes is not None:
+        nc = node_col or nodes.columns[0]
+        iso = (
+            nodes.select(F.col(nc).cast("long").alias("node"))
+            .distinct()
+            .join(out.select("node"), "node", "left_anti")
+            .withColumn("component", F.col("node"))
+        )
+        out = out.unionByName(iso)
+    return out
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Cluster every document by near-duplicate connectivity:
+    (doc_id, component_id, is_canonical). ``component_id`` is the min
+    doc id in the transitive near-dup cluster; ``is_canonical`` marks the
+    one survivor per cluster (singletons are trivially canonical). Filter
+    ``is_canonical`` to materialize the deduplicated corpus."""
+    comp = connected_components(
+        pairs,
+        src=src,
+        dst=dst,
+        nodes=docs.select(id_col),
+        node_col=id_col,
+        max_iter=max_iter,
+        scratch_dir=scratch_dir,
+    )
+    return comp.select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("component_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import MD5_48_DUCKDB_TEMPLATE, MINHASH_A, MINHASH_B, MINHASH_P, md5_48
 from ..functions.hlc import hlc_logical, hlc_wall_ns
-from ..operators import multimodal, similarity, text, text_dedup
+from ..operators import components, multimodal, similarity, text, text_dedup
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1528,6 +1528,45 @@ WHERE round(({agree}) / {MINHASH_K_ORACLE}.0, 6) >= 0.375
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: minhash-LSH pair edges (same
+    params and staged shingles as the minhash_lsh_pairs gate) closed
+    under connectivity; one canonical survivor per cluster."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = text_dedup.minhash_lsh_pairs(
+        docs, k=MINHASH_K_ORACLE, bands=4, threshold=0.375,
+        scratch_dir=os.path.join(_WORK, "minhash_sig"),
+        shingles=_staged_shingles(spark, sf_dir),
+    )
+    return components.dedup_clusters(
+        docs, pairs, scratch_dir=os.path.join(_WORK, "cc_stage")
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    """Oracle: DuckDB recursive-CTE reachability over the bidirectional
+    minhash-pair edges — component = min reachable doc_id. Quadratic in
+    component size, fine at oracle scale; the Spark side is the O(log n)
+    star-contraction that survives 10^10 nodes."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_minhash_lsh_sql()}
+), bi AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, bi.b FROM reach r JOIN bi ON bi.a = r.node
+)
+SELECT src AS doc_id,
+       min(node) AS component_id,
+       (src = min(node)) AS is_canonical
+FROM reach GROUP BY src
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_duplicates(
         _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=3
@@ -1778,6 +1817,7 @@ def queries() -> dict[str, QueryFn]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1821,6 +1861,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "minhash_signatures": _minhash_sql(),
         "minhash_lsh_pairs": _minhash_lsh_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "simhash": _simhash_sql(),
         "simhash_neardup": _simhash_neardup_sql(),
         "ann_cosine_topk": SQL_ANN_TOPK,
