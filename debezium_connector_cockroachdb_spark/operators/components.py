@@ -97,6 +97,8 @@ def connected_components(
     ``max_iter`` bounds the alternating rounds; 25 covers > 10^7-node
     components (O(log n) convergence). Raises RuntimeError if the star
     fixed point is not reached — never returns a half-contracted result."""
+    import uuid
+
     spark = edges.sparkSession
     e = (
         edges.select(
@@ -107,9 +109,14 @@ def connected_components(
         .distinct()
     )
 
+    # per-call staging token: the RETURNED DataFrame keeps reading the
+    # final staged parquet lazily, so a later call reusing the same
+    # alternating paths would silently corrupt a still-unconsumed result
+    run_tag = uuid.uuid4().hex[:8]
+
     def _stage(df: DataFrame, i: int) -> DataFrame:
         if scratch_dir:
-            path = os.path.join(scratch_dir, f"cc_{i % 2}")
+            path = os.path.join(scratch_dir, f"cc_{run_tag}_{i % 2}")
             df.write.mode("overwrite").parquet(path)
             return spark.read.parquet(path)
         return df.localCheckpoint(eager=True)
@@ -128,9 +135,11 @@ def connected_components(
     e = _stage(e, 0)
     prev = _sig(e)
     converged = prev[0] == 0
+    last = 0
     for i in range(1, max_iter + 1):
         e = _star(_symmetric(_star(_symmetric(e), large=True)), large=False)
         e = _stage(e, i)
+        last = i
         cur = _sig(e)
         if cur == prev:
             # signature says fixed point — PROVE star-shape: no edge
@@ -148,6 +157,15 @@ def connected_components(
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations"
+        )
+    if scratch_dir:
+        # the result reads only the FINAL staged dir; drop the other half
+        # of the alternating pair so repeated calls don't accumulate disk
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(scratch_dir, f"cc_{run_tag}_{(last + 1) % 2}"),
+            ignore_errors=True,
         )
 
     # at the star fixed point every edge is (member, root); roots map to
