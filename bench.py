@@ -156,7 +156,10 @@ OPERATOR_BENCH = [
     "simhash",
     "ann_cosine_topk",
     "ann_cosine_topk_lsh",
+    "ann_cosine_topk_pq",
     "ngram_jaccard",
+    "domain_cap_sample",
+    "boilerplate_ngrams",
     "sequence_packing",
     "pack_assembly",
     "embedding_neardup",

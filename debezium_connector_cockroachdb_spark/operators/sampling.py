@@ -34,6 +34,54 @@ def unit_uniform(id_col: Column, salt: str = "") -> Column:
     )
 
 
+def sample_domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+    n_salt: int = 64,
+) -> DataFrame:
+    """Quota sampling: keep at most ``cap`` rows per domain (source, site,
+    crawl host, …), selected deterministically — the rows whose salted
+    48-bit hash ranks lowest within the domain, ties by id. A pretraining
+    mixture uses this to stop a single giant domain from dominating the
+    corpus while keeping the selection reproducible across runs/engines.
+
+    Skew is the whole problem at 10^10 docs: one domain can hold 10^8 rows,
+    so a ``row_number() OVER (PARTITION BY domain)`` window — which sorts
+    every row of the hot domain on one reducer — is dead on arrival.
+    Instead top-``cap`` (a distributive aggregate, like the ANN top-k in
+    similarity.py) runs in two bounded phases:
+
+    1. groupBy(domain, salt-of-id % n_salt): each of the ``n_salt`` salt
+       groups of a domain reduces to its own top-``cap`` with map-side
+       combine — no aggregation buffer outgrows ``cap`` structs, and the
+       hot domain's rows spread over ``n_salt`` uniform keys.
+    2. groupBy(domain) over the ≤ n_salt·cap survivors: the final
+       top-``cap`` sees ``n_salt × cap`` rows per domain, independent of
+       domain size.
+
+    Only (hash, id) pairs travel through the shuffles; payload columns are
+    joined back by id afterwards if the caller needs them. Output:
+    (id, domain) of the kept rows.
+    """
+    h = md5_48(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    packed = F.struct(h.alias("h"), F.col(id_col).alias("_id"))
+    local = (
+        df.select(F.col(domain_col).alias("_dom"), packed.alias("_p"))
+        .groupBy("_dom", F.pmod(F.xxhash64(F.col("_p._id").cast("string")), F.lit(n_salt)).alias("_sg"))
+        .agg(F.slice(F.sort_array(F.collect_list("_p")), 1, cap).alias("_top"))
+        .select("_dom", F.explode("_top").alias("_p"))
+    )
+    return (
+        local.groupBy("_dom")
+        .agg(F.slice(F.sort_array(F.collect_list("_p")), 1, cap).alias("_top"))
+        .select("_dom", F.explode("_top").alias("_p"))
+        .select(F.col("_p._id").alias(id_col), F.col("_dom").alias(domain_col))
+    )
+
+
 def sample_stratified(
     df: DataFrame,
     strata_col: str,

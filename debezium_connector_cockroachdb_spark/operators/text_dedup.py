@@ -350,3 +350,38 @@ def benchmark_contamination(
             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("int").alias("n_contaminated"),
         )
     )
+
+
+# ---------------- boilerplate detection ----------------
+
+def top_ngrams(
+    df: DataFrame,
+    k: int = 20,
+    n: int = 5,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """The ``k`` most widespread character n-grams across the corpus by
+    document frequency — the boilerplate detector (cookie banners, nav
+    chrome, license headers surface as n-grams shared by huge numbers of
+    documents; curation pipelines strip or down-weight documents dominated
+    by them). Output: (shingle, df) with deterministic order ties broken
+    by shingle ASC; shingles below ``min_df`` documents never rank.
+
+    Scale shape: shingles are distinct per document (char_shingles), so
+    document frequency is one hash-groupBy count over the exploded
+    shingle table — map-side partial agg, single shuffle on the shingle
+    key. The global top-k is orderBy(df DESC).limit(k): Spark plans a
+    TakeOrdered — each partition keeps its own k rows, the driver merges
+    #partitions × k — no global sort materializes. Pass ``shingles`` to
+    reuse a staged shingle table shared with the jaccard/minhash family.
+    """
+    sh = shingle_table(df, text_col, id_col, n) if shingles is None else shingles
+    counts = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    return counts.orderBy(F.col("df").desc(), F.col("shingle").asc()).limit(k)

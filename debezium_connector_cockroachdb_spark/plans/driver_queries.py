@@ -1317,6 +1317,59 @@ WHERE CAST(({h}) AS DOUBLE) / 281474976710656.0
 """
 
 
+DOMAIN_CAP = 10
+DOMAIN_CAP_SALT = "cap-v1"
+
+
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling: at most DOMAIN_CAP docs per source,
+    selected by salted-hash rank (operators/sampling.py
+    ``sample_domain_cap`` — the skew-safe two-phase top-cap; the oracle
+    states the same selection as a rank window, which is correct SQL but
+    the single-reducer-per-domain shape the Spark side deliberately
+    avoids)."""
+    from ..operators.sampling import sample_domain_cap
+
+    d = _t(spark, sf_dir, "documents")
+    return sample_domain_cap(d, "source", DOMAIN_CAP, salt=DOMAIN_CAP_SALT)
+
+
+def _domain_cap_sql() -> str:
+    h = H48_SQL.format(expr=f"CAST(doc_id AS VARCHAR) || '{DOMAIN_CAP_SALT}'")
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY ({h}) ASC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= {DOMAIN_CAP}
+"""
+
+
+BOILERPLATE_TOPK = 25
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate detection: the top-K character 5-grams by
+    document frequency (text_dedup.top_ngrams) over the shared staged
+    shingle table."""
+    return text_dedup.top_ngrams(
+        _t(spark, sf_dir, "documents"), k=BOILERPLATE_TOPK, min_df=2,
+        shingles=_staged_shingles(spark, sf_dir),
+    )
+
+
+def _boilerplate_sql() -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({SHINGLES_SQL.format(n=NORM_SQL)}) AS shingle
+  FROM documents
+)
+SELECT shingle, CAST(count(*) AS BIGINT) AS df
+FROM sh GROUP BY shingle HAVING count(*) >= 2
+ORDER BY df DESC, shingle ASC LIMIT {BOILERPLATE_TOPK}
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return (
@@ -1691,6 +1744,120 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim FROM ranked WHE
 """
 
 
+_PQ_CODEBOOK = os.path.join(_WORK, "pq_codebook")
+PQ_M = 4
+PQ_KSUB = 16
+
+
+def q_ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/pq.py). Like the IVF
+    gate, the iterative per-subspace k-means is not SQL-expressible, so
+    the (deterministic) trained codebook is staged as parquet and the
+    oracle independently re-derives everything downstream of it: subspace
+    arg-min encoding, the reconstructed norms, the per-query dot-product
+    LUT, the ADC cosine, and the rank."""
+    from ..operators import pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    codebook = pq.pq_train(emb, m=PQ_M, ksub=PQ_KSUB)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_pa
+
+    os.makedirs(_PQ_CODEBOOK, exist_ok=True)
+    tbl = pa.table(
+        {
+            "j": [j for j, _c, _cw in codebook],
+            "code": [c for _j, c, _cw in codebook],
+            "codeword": [cw for _j, _c, cw in codebook],
+        },
+        schema=pa.schema(
+            [("j", pa.int32()), ("code", pa.int32()), ("codeword", pa.list_(pa.float64()))]
+        ),
+    )
+    pq_pa.write_table(tbl, os.path.join(_PQ_CODEBOOK, "cb.parquet"))
+    pq_pa.write_table(
+        pa.table({"n_vecs": [emb.count()]}),
+        os.path.join(_PQ_CODEBOOK, "marker.parquet"),
+    )
+    return pq.cosine_topk_pq(emb, queries, k=3, codebook=codebook)
+
+
+def _pq_sql() -> str:
+    """Everything downstream of the staged PQ codebook, in SQL: subspace
+    slices (dim-agnostic: subdim = len(embedding) // m), arg-min codes
+    (ties → lowest code), reconstructed norm and per-query LUT folded in
+    subspace order (list(x ORDER BY j) → list_sum, matching Spark's
+    sorted-array sequential fold), ADC cosine rounded to 6, rank by
+    (cos DESC, id ASC)."""
+    sd = f"(len(e.embedding) // {PQ_M})"
+    d_sc = _SQDIST.format(a="s.sv", b="c.codeword")
+    dot = _DOT
+    return f"""
+WITH cb AS (
+  SELECT * FROM read_parquet('{_PQ_CODEBOOK}/cb.parquet')
+  WHERE CASE WHEN (SELECT n_vecs FROM read_parquet('{_PQ_CODEBOOK}/marker.parquet'))
+             = (SELECT count(*) FROM embeddings)
+        THEN TRUE
+        ELSE error('stale PQ codebook staging: run the Spark '
+                   'ann_cosine_topk_pq query for this sf dir first')
+        END
+),
+cbn AS (
+  SELECT j, code, codeword, {dot.format(a='codeword', b='codeword')} AS n2 FROM cb
+),
+sub AS (
+  SELECT e.vec_id, t.j,
+         list_slice(e.embedding, t.j * {sd} + 1, (t.j + 1) * {sd}) AS sv
+  FROM embeddings e CROSS JOIN (SELECT unnest(range({PQ_M})) AS j) t
+),
+enc AS (
+  SELECT vec_id, j, code, n2 FROM (
+    SELECT s.vec_id, s.j, c.code, c.n2,
+           row_number() OVER (PARTITION BY s.vec_id, s.j
+                              ORDER BY {d_sc} ASC, c.code ASC) AS rn
+    FROM sub s JOIN cbn c ON c.j = s.j
+  ) WHERE rn = 1
+),
+vecn AS (
+  SELECT vec_id, list_sum(list(n2 ORDER BY j)) AS approx_n2 FROM enc GROUP BY vec_id
+),
+q AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qv,
+         sqrt({dot.format(a='e.embedding', b='e.embedding')}) AS qnorm
+  FROM embeddings e WHERE e.vec_id < 5
+),
+qsub AS (
+  SELECT q.query_id, t.j,
+         list_slice(q.qv, t.j * (len(q.qv) // {PQ_M}) + 1, (t.j + 1) * (len(q.qv) // {PQ_M})) AS sv,
+         q.qnorm
+  FROM q CROSS JOIN (SELECT unnest(range({PQ_M})) AS j) t
+),
+lut AS (
+  SELECT s.query_id, c.j, c.code, {dot.format(a='s.sv', b='c.codeword')} AS contrib, s.qnorm
+  FROM qsub s JOIN cbn c ON c.j = s.j
+),
+scored AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id,
+         list_sum(list(l.contrib ORDER BY l.j)) AS adot,
+         any_value(l.qnorm) AS qnorm
+  FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(s.adot / (s.qnorm * sqrt(v.approx_n2)), 6) AS cos_sim,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY round(s.adot / (s.qnorm * sqrt(v.approx_n2)), 6) DESC,
+                                     s.neighbor_id ASC) AS rank
+  FROM scored s JOIN vecn v ON v.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim FROM ranked WHERE rank <= 3
+"""
+
+
 ANN_LSH_PLANES = 3
 
 
@@ -1810,6 +1977,8 @@ def queries() -> dict[str, QueryFn]:
         "sequence_packing_slices": q_sequence_packing_slices,
         "pack_assembly": q_pack_assembly,
         "stratified_sample": q_stratified_sample,
+        "domain_cap_sample": q_domain_cap_sample,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
         "stream_dedup": q_stream_dedup,
         "stream_windowed_counts": q_stream_windowed_counts,
         "dedup_exact": q_dedup_exact,
@@ -1823,6 +1992,7 @@ def queries() -> dict[str, QueryFn]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
         "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
+        "ann_cosine_topk_pq": q_ann_cosine_topk_pq,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
         "frame_sample_plan": q_frame_sample_plan,
@@ -1854,6 +2024,8 @@ def oracle_sql() -> dict[str, str]:
         "sequence_packing_slices": SQL_SEQUENCE_PACKING_SLICES,
         "pack_assembly": SQL_PACK_ASSEMBLY,
         "stratified_sample": _stratified_sample_sql(),
+        "domain_cap_sample": _domain_cap_sql(),
+        "boilerplate_ngrams": _boilerplate_sql(),
         "stream_dedup": SQL_STREAM_DEDUP,
         "stream_windowed_counts": SQL_STREAM_WINDOWED,
         "dedup_exact": SQL_DEDUP_EXACT,
@@ -1867,6 +2039,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": SQL_ANN_TOPK,
         "ann_cosine_topk_lsh": _ann_lsh_sql(),
         "ann_cosine_topk_ivf": _ivf_sql(),
+        "ann_cosine_topk_pq": _pq_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "frame_sample_plan": SQL_FRAME_SAMPLE,

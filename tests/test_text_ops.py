@@ -581,3 +581,42 @@ def test_ann_arrow_kernel_null_and_ragged(spark):
     assert cs[(0, 2)] is None      # null side
     assert cs[(0, 3)] is None      # cross-width pair: undefined, nulled
     assert cs[(3, 3)] is not None  # equal-width ragged pair computes
+
+
+# ---------------- boilerplate n-gram detection ----------------
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_top_ngrams_matches_python_oracle(spark):
+    import re
+
+    from debezium_connector_cockroachdb_spark.operators.text_dedup import top_ngrams
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(120)
+    df_py: dict[str, int] = {}
+    for r in d.select("text").collect():
+        norm = re.sub(r"\s+", " ", r["text"].strip().lower())
+        grams = {norm[i : i + 5] for i in range(max(len(norm) - 4, 1))}
+        for g in grams:
+            df_py[g] = df_py.get(g, 0) + 1
+    want = sorted(
+        ((g, n) for g, n in df_py.items() if n >= 2), key=lambda x: (-x[1], x[0])
+    )[:15]
+
+    got = [(r["shingle"], r["df"]) for r in top_ngrams(d, k=15, min_df=2).collect()]
+    assert got == want
+
+
+def test_top_ngrams_min_df_and_staged_reuse(spark):
+    from debezium_connector_cockroachdb_spark.operators.text_dedup import (
+        shingle_table,
+        top_ngrams,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    staged = shingle_table(d)
+    a = top_ngrams(d, k=10, min_df=3).collect()
+    b = top_ngrams(d, k=10, min_df=3, shingles=staged).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert all(r["df"] >= 3 for r in a)
