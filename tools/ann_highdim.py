@@ -77,6 +77,31 @@ def main() -> None:
     out["ivf_rows"] = ivf.count()
     out["ivf_secs"] = round(time.time() - t0, 2)  # includes k-means seeding/assign
 
+    # PQ/ADC: seeded codebook (n_iters=0 — the quantizer-quality knob is
+    # irrelevant to a plan/throughput check), encode + LUT sweep. The expr
+    # encode is per-element HOF like the pre-Arrow LSH/IVF paths, so the
+    # arrow kernel is the realistic-dimension default here; scoring itself
+    # is dim-independent (m LUT lookups per pair) and stays expr/JVM.
+    from debezium_connector_cockroachdb_spark.operators import pq as pqmod
+
+    t0 = time.time()
+    cb = pqmod.pq_train(vecs, m=8, ksub=64, n_iters=0, n_vectors=n)
+    pq_df = pqmod.cosine_topk_pq(vecs, queries, k=10, codebook=cb, kernel=kernel)
+    out["plan_chars_pq"] = len(pq_df._jdf.queryExecution().optimizedPlan().toString())
+    out["pq_rows"] = pq_df.count()
+    out["pq_secs"] = round(time.time() - t0, 2)  # includes encode
+    assert out["plan_chars_pq"] < 60_000, out["plan_chars_pq"]
+
+    t0 = time.time()
+    ivfpq = pqmod.cosine_topk_ivfpq(
+        vecs, queries, k=10, n_centroids=64, n_probe=4, codebook=cb,
+        n_vectors=n, kernel=kernel,
+    )
+    out["plan_chars_ivfpq"] = len(ivfpq._jdf.queryExecution().optimizedPlan().toString())
+    out["ivfpq_rows"] = ivfpq.count()
+    out["ivfpq_secs"] = round(time.time() - t0, 2)  # includes IVF assign + encode
+    assert out["plan_chars_ivfpq"] < 80_000, out["plan_chars_ivfpq"]
+
     # the narrowness assertion: an O(dim) fan-out at dim 1536 would put
     # >100k chars of per-dimension expressions in the plan
     assert out["plan_chars_lsh"] < 60_000, out["plan_chars_lsh"]
