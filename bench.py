@@ -160,6 +160,8 @@ OPERATOR_BENCH = [
     "ngram_jaccard",
     "domain_cap_sample",
     "boilerplate_ngrams",
+    "token_dedup_exact",
+    "token_ngram_contamination",
     "sequence_packing",
     "pack_assembly",
     "embedding_neardup",

@@ -1317,6 +1317,85 @@ WHERE CAST(({h}) AS DOUBLE) / 281474976710656.0
 """
 
 
+TOKEN_VOCAB = 32768
+
+# DuckDB mirror of tokens.hashed_tokens: normalize, split on the single
+# collapsed space, md5-48 each token mod the vocab (exact int64)
+TOKENIZE_SQL = (
+    "list_transform(list_filter(regexp_split_to_array({norm}, ' '), w -> w <> ''), "
+    "w -> CAST((" + H48_SQL.format(expr="w") + ") % {vocab} AS BIGINT))"
+)
+
+
+def q_token_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup in TOKEN space (operators/tokens.py): documents are
+    deterministically tokenized to hashed ids and fingerprinted with a
+    seeded polynomial fold — one hash-groupBy, the id-sequence analogue of
+    dedup_exact over the payload the CDC engine ships."""
+    from ..operators import tokens as tok
+
+    d = _t(spark, sf_dir, "documents")
+    return tok.dedup_exact_tokens(
+        d.select("doc_id", tok.hashed_tokens(F.col("text"), TOKEN_VOCAB).alias("tokens"))
+    )
+
+
+def _token_dedup_sql() -> str:
+    toks = TOKENIZE_SQL.format(norm=NORM_SQL, vocab=TOKEN_VOCAB)
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents)
+SELECT CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), toks),
+                        (a, b) -> (a * 131 + b) % 2147483647) AS BIGINT) AS fp,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM t GROUP BY 1
+"""
+
+
+TOKEN_NGRAM_N = 3
+
+
+def q_token_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination in TOKEN space: every 50th document plays
+    the eval set (same split as the text-shingle gate); overlap is counted
+    over distinct token-trigram rolling-hash ids."""
+    from ..operators import tokens as tok
+
+    d = _t(spark, sf_dir, "documents")
+    return tok.token_ngram_contamination(
+        d.filter(F.col("doc_id") % 50 != 0),
+        d.filter(F.col("doc_id") % 50 == 0),
+        n=TOKEN_NGRAM_N,
+        vocab_size=TOKEN_VOCAB,
+    )
+
+
+def _token_contamination_sql() -> str:
+    toks = TOKENIZE_SQL.format(norm=NORM_SQL, vocab=TOKEN_VOCAB)
+    # trigram rolling hash over the hashed ids, 1-based windows, distinct
+    gram = (
+        "((toks[i] * 131 + toks[i+1]) % 2147483647 * 131 + toks[i+2]) % 2147483647"
+    )
+    grams = (
+        f"CASE WHEN len(toks) >= {TOKEN_NGRAM_N} THEN "
+        f"list_distinct(list_transform(range(1, len(toks) - {TOKEN_NGRAM_N} + 2), i -> {gram})) "
+        "ELSE [] END"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+bench AS (
+  SELECT DISTINCT unnest({grams}) AS gram FROM t WHERE doc_id % 50 = 0
+),
+g AS (
+  SELECT doc_id, unnest({grams}) AS gram FROM t WHERE doc_id % 50 <> 0
+)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_ngrams,
+       CAST(sum(CASE WHEN gram IN (SELECT gram FROM bench) THEN 1 ELSE 0 END) AS INT)
+         AS n_contaminated
+FROM g GROUP BY doc_id
+"""
+
+
 DOMAIN_CAP = 10
 DOMAIN_CAP_SALT = "cap-v1"
 
@@ -1979,6 +2058,8 @@ def queries() -> dict[str, QueryFn]:
         "stratified_sample": q_stratified_sample,
         "domain_cap_sample": q_domain_cap_sample,
         "boilerplate_ngrams": q_boilerplate_ngrams,
+        "token_dedup_exact": q_token_dedup_exact,
+        "token_ngram_contamination": q_token_contamination,
         "stream_dedup": q_stream_dedup,
         "stream_windowed_counts": q_stream_windowed_counts,
         "dedup_exact": q_dedup_exact,
@@ -2026,6 +2107,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_sql(),
         "domain_cap_sample": _domain_cap_sql(),
         "boilerplate_ngrams": _boilerplate_sql(),
+        "token_dedup_exact": _token_dedup_sql(),
+        "token_ngram_contamination": _token_contamination_sql(),
         "stream_dedup": SQL_STREAM_DEDUP,
         "stream_windowed_counts": SQL_STREAM_WINDOWED,
         "dedup_exact": SQL_DEDUP_EXACT,

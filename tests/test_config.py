@@ -150,7 +150,10 @@ def test_heartbeat_rows_on_idle_continuous_trigger(spark, tmp_path):
     pipe = CDCPipeline(spark, icfg)
     q = pipe.start_stream(available_now=False, trigger_seconds=0.3)
     try:
-        deadline = _t.time() + 30
+        # generous deadline: heartbeats only start once the initial batch
+        # drains, and this shared host's batch wall stretches 3-4x under
+        # neighbor load (observed: 1 heartbeat in 30 s on a slow window)
+        deadline = _t.time() + 90
         hb = 0
         while _t.time() < deadline:
             _t.sleep(1.0)
