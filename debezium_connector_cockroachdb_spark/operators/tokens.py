@@ -117,19 +117,25 @@ def token_ngram_contamination(
     eval set collapses to distinct n-gram ids and broadcasts; the corpus
     side is a map-side join over the scan, the per-doc aggregation
     collapses map-side, and the only shuffle moves #docs narrow rows."""
-    def toks(df: DataFrame, text_c: str, tok_c: str | None) -> Column:
-        return F.col(tok_c) if tok_c else hashed_tokens(F.col(text_c), vocab_size)
+    # materialize the token array in its own projection BEFORE windowing:
+    # token_ngram_ids indexes its input once per window position, and
+    # inside an interpreted higher-order function that re-evaluates the
+    # whole child expression — handing it the raw tokenizer tree re-runs
+    # the per-token md5 for every element_at (measured: 72 s vs 1 s at
+    # sf0.1). A plain column reference is O(1) per index.
+    def with_toks(df: DataFrame, text_c: str, tok_c: str | None) -> DataFrame:
+        t = F.col(tok_c) if tok_c else hashed_tokens(F.col(text_c), vocab_size)
+        return df.select(*df.columns, t.alias("_toks"))
 
     bench_ids = (
-        benchmark.select(
-            F.explode(token_ngram_ids(toks(benchmark, bench_text_col, bench_tokens_col), n)).alias("gram")
-        )
+        with_toks(benchmark, bench_text_col, bench_tokens_col)
+        .select(F.explode(token_ngram_ids(F.col("_toks"), n)).alias("gram"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    grams = corpus.select(
+    grams = with_toks(corpus, text_col, corpus_tokens_col).select(
         F.col(id_col),
-        F.explode(token_ngram_ids(toks(corpus, text_col, corpus_tokens_col), n)).alias("gram"),
+        F.explode(token_ngram_ids(F.col("_toks"), n)).alias("gram"),
     )
     return (
         grams.join(F.broadcast(bench_ids), "gram", "left")
