@@ -118,3 +118,52 @@ def test_token_contamination_matches_python(spark):
         ).collect()
     }
     assert got == want
+
+
+# ---------------- property tests (hypothesis) ----------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_tok_lists = st.lists(st.integers(min_value=0, max_value=V - 1), max_size=12)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=_tok_lists, b=_tok_lists)
+def test_fingerprint_concat_property(spark, a, b):
+    """fp(a ++ b) must equal folding b on top of fp(a) — the invariant
+    that makes the fingerprint streamable/chunkable (a resumed job can
+    continue a sequence's hash without re-reading its prefix)."""
+    df = spark.createDataFrame(
+        [(1, a + b)], "id int, toks array<long>"
+    ).select(tok.token_fingerprint(F.col("toks")).alias("f"))
+    got = df.first()["f"]
+    acc = _py_fp(a)
+    for t in b:
+        acc = (acc * B + t) % P
+    assert got == acc
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10**6), st.sampled_from(["a", "b", "c"])),
+        min_size=1, max_size=40, unique_by=lambda r: r[0],
+    ),
+    cap=st.integers(1, 5),
+)
+def test_domain_cap_property(spark, rows, cap):
+    """sample_domain_cap == the python rank oracle for arbitrary id/domain
+    layouts and caps (incl. domains smaller than the cap)."""
+    from test_sampling import _py_domain_cap
+
+    from debezium_connector_cockroachdb_spark.operators.sampling import sample_domain_cap
+
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        (r["doc_id"], r["source"])
+        for r in sample_domain_cap(d, "source", cap, salt="h", n_salt=4).collect()
+    }
+    assert got == _py_domain_cap(rows, cap, "h")
