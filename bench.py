@@ -157,6 +157,7 @@ OPERATOR_BENCH = [
     "ann_cosine_topk",
     "ann_cosine_topk_lsh",
     "ann_cosine_topk_pq",
+    "ann_cosine_topk_pq_rerank",
     "ngram_jaccard",
     "domain_cap_sample",
     "boilerplate_ngrams",

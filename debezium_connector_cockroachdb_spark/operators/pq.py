@@ -460,3 +460,60 @@ def cosine_topk_ivfpq(
         )
     )
     return _topk_per_query(scored, query_id_col, k)
+
+
+def cosine_topk_pq_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    c_factor: int = 4,
+    m: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    codebook: Codebook | None = None,
+    encoded: DataFrame | None = None,
+    n_vectors: int | None = None,
+    kernel: str = "expr",
+) -> DataFrame:
+    """The production retrieval pattern: ADC over PQ codes retrieves a
+    candidate pool of ``c_factor × k`` per query (cheap — m LUT lookups
+    per vector, code-table scan), then ONLY those candidates are re-scored
+    with the exact cosine on their float vectors and re-ranked. Output
+    shape of cosine_topk with EXACT cos_sim values; recall < 1 only when
+    the true top-k falls outside the ADC top-C (with C ≥ corpus size the
+    result equals the brute-force top-k exactly — pinned by test).
+
+    Scale shape: the candidate ids (q × C rows) broadcast back against
+    the corpus scan — the float payload is read only for candidate rows
+    (partition/file pruning applies on selective id sets); the exact
+    re-score is a q×C-row map plus the bounded two-stage top-k. Nothing
+    O(N·dim) happens after encode."""
+    if codebook is None:
+        codebook = pq_train(
+            corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col, n_vectors=n_vectors
+        )
+    cand = cosine_topk_pq(
+        corpus, queries, k=c_factor * k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, codebook=codebook, encoded=encoded, kernel=kernel,
+    ).select(query_id_col, "neighbor_id")
+
+    from .similarity import cosine
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("_cv")
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    scored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        )
+    )
+    return _topk_per_query(scored, query_id_col, k)

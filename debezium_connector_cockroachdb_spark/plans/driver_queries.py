@@ -1863,24 +1863,24 @@ def q_ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.cosine_topk_pq(emb, queries, k=3, codebook=codebook)
 
 
-def _pq_sql() -> str:
-    """Everything downstream of the staged PQ codebook, in SQL: subspace
-    slices (dim-agnostic: subdim = len(embedding) // m), arg-min codes
-    (ties → lowest code), reconstructed norm and per-query LUT folded in
-    subspace order (list(x ORDER BY j) → list_sum, matching Spark's
-    sorted-array sequential fold), ADC cosine rounded to 6, rank by
-    (cos DESC, id ASC)."""
-    sd = f"(len(e.embedding) // {PQ_M})"
+def _pq_adc_ctes(stage_dir: str, gate_name: str) -> str:
+    """The shared ADC CTE prefix downstream of a staged PQ codebook:
+    subspace slices (dim-agnostic: subdim = len(embedding) // m), arg-min
+    codes (ties → lowest code), reconstructed norm and per-query LUT
+    folded in subspace order (list(x ORDER BY j) → list_sum, matching
+    Spark's sorted-array sequential fold), ADC cosine rounded to 6,
+    ranked by (cos DESC, id ASC)."""
+    sd = "(len(e.embedding) // {m})".format(m=PQ_M)
     d_sc = _SQDIST.format(a="s.sv", b="c.codeword")
     dot = _DOT
     return f"""
 WITH cb AS (
-  SELECT * FROM read_parquet('{_PQ_CODEBOOK}/cb.parquet')
-  WHERE CASE WHEN (SELECT n_vecs FROM read_parquet('{_PQ_CODEBOOK}/marker.parquet'))
+  SELECT * FROM read_parquet('{stage_dir}/cb.parquet')
+  WHERE CASE WHEN (SELECT n_vecs FROM read_parquet('{stage_dir}/marker.parquet'))
              = (SELECT count(*) FROM embeddings)
         THEN TRUE
         ELSE error('stale PQ codebook staging: run the Spark '
-                   'ann_cosine_topk_pq query for this sf dir first')
+                   '{gate_name} query for this sf dir first')
         END
 ),
 cbn AS (
@@ -1932,9 +1932,84 @@ ranked AS (
                             ORDER BY round(s.adot / (s.qnorm * sqrt(v.approx_n2)), 6) DESC,
                                      s.neighbor_id ASC) AS rank
   FROM scored s JOIN vecn v ON v.vec_id = s.neighbor_id
+)"""
+
+
+def _pq_sql() -> str:
+    return (
+        _pq_adc_ctes(_PQ_CODEBOOK, "ann_cosine_topk_pq")
+        + "\nSELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim "
+        "FROM ranked WHERE rank <= 3\n"
+    )
+
+
+_PQ_RR_CODEBOOK = os.path.join(_WORK, "pq_rr_codebook")
+PQ_RERANK_K = 3
+PQ_RERANK_C = 12
+
+
+def q_ann_cosine_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC retrieval + exact re-rank (operators/pq.cosine_topk_pq_rerank):
+    the PQ code sweep nominates c_factor×k candidates per query, and only
+    those rows' float vectors are read back for exact cosine ranking —
+    the pattern a production retrieval stack runs. The oracle re-derives
+    the ADC pool AND the exact re-rank downstream of the staged codebook."""
+    from ..operators import pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    codebook = pq.pq_train(emb, m=PQ_M, ksub=PQ_KSUB)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_pa
+
+    os.makedirs(_PQ_RR_CODEBOOK, exist_ok=True)
+    pq_pa.write_table(
+        pa.table(
+            {
+                "j": [j for j, _c, _cw in codebook],
+                "code": [c for _j, c, _cw in codebook],
+                "codeword": [cw for _j, _c, cw in codebook],
+            },
+            schema=pa.schema(
+                [("j", pa.int32()), ("code", pa.int32()), ("codeword", pa.list_(pa.float64()))]
+            ),
+        ),
+        os.path.join(_PQ_RR_CODEBOOK, "cb.parquet"),
+    )
+    pq_pa.write_table(
+        pa.table({"n_vecs": [emb.count()]}),
+        os.path.join(_PQ_RR_CODEBOOK, "marker.parquet"),
+    )
+    return pq.cosine_topk_pq_rerank(
+        emb, queries, k=PQ_RERANK_K, c_factor=PQ_RERANK_C // PQ_RERANK_K, codebook=codebook
+    )
+
+
+def _pq_rerank_sql() -> str:
+    dot = _DOT
+    exact = (
+        f"round({dot.format(a='q.qv', b='e.embedding')} "
+        f"/ (q.qnorm * sqrt({dot.format(a='e.embedding', b='e.embedding')})), 6)"
+    )
+    return (
+        _pq_adc_ctes(_PQ_RR_CODEBOOK, "ann_cosine_topk_pq_rerank")
+        + f""",
+pool AS (
+  SELECT query_id, neighbor_id FROM ranked WHERE rank <= {PQ_RERANK_C}
+),
+rr AS (
+  SELECT p.query_id, p.neighbor_id, {exact} AS cos_sim,
+         row_number() OVER (PARTITION BY p.query_id
+                            ORDER BY {exact} DESC, p.neighbor_id ASC) AS rank
+  FROM pool p
+  JOIN embeddings e ON e.vec_id = p.neighbor_id
+  JOIN q ON q.query_id = p.query_id
 )
-SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim FROM ranked WHERE rank <= 3
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+FROM rr WHERE rank <= {PQ_RERANK_K}
 """
+    )
 
 
 ANN_LSH_PLANES = 3
@@ -2074,6 +2149,7 @@ def queries() -> dict[str, QueryFn]:
         "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
         "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
         "ann_cosine_topk_pq": q_ann_cosine_topk_pq,
+        "ann_cosine_topk_pq_rerank": q_ann_cosine_topk_pq_rerank,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
         "frame_sample_plan": q_frame_sample_plan,
@@ -2123,6 +2199,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk_lsh": _ann_lsh_sql(),
         "ann_cosine_topk_ivf": _ivf_sql(),
         "ann_cosine_topk_pq": _pq_sql(),
+        "ann_cosine_topk_pq_rerank": _pq_rerank_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "frame_sample_plan": SQL_FRAME_SAMPLE,

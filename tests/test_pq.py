@@ -180,3 +180,38 @@ def test_arrow_encode_null_and_ragged_rows_degrade_to_null(spark):
     assert list(got[1]["codes"]) == [0, 0] and got[1]["approx_n2"] == 5.0
     assert got[2]["codes"] is None and got[2]["approx_n2"] is None
     assert got[3]["codes"] is None and got[3]["approx_n2"] is None
+
+
+def test_pq_rerank_with_full_pool_equals_exact(spark):
+    """With the candidate pool covering the whole corpus, ADC nomination
+    cannot exclude anything — the re-ranked result must equal brute-force
+    cosine_topk exactly (values AND order)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb = pq.pq_train(emb, m=4, ksub=8, n_iters=1)
+    n = emb.count()
+    got = pq.cosine_topk_pq_rerank(
+        emb, q, k=3, c_factor=(n // 3) + 1, codebook=cb
+    ).collect()
+    want = cosine_topk(emb, q, k=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_pq_rerank_scores_are_exact_cosines(spark):
+    """Whatever the pool nominates, the RETURNED scores must be the exact
+    cosines (not ADC approximations)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb = pq.pq_train(emb, m=4, ksub=8, n_iters=1)
+    got = pq.cosine_topk_pq_rerank(emb, q, k=3, c_factor=4, codebook=cb).collect()
+    exact_all = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in cosine_topk(emb, q, k=emb.count()).collect()
+    }
+    assert got
+    for r in got:
+        assert r["cos_sim"] == exact_all[(r["query_id"], r["neighbor_id"])], r
