@@ -73,6 +73,31 @@ def _star(p: DataFrame, large: bool) -> DataFrame:
     return out.filter(F.col("u") != F.col("v")).distinct()
 
 
+def _large_star_oriented(e: DataFrame) -> DataFrame:
+    """First large-star half-iteration specialized for an ORIENTED edge
+    list (every row has u < v — the pair generators' natural output). On
+    the symmetric set, large-star emits (v, m(u)) exactly for the
+    neighbor pairs with v > u — which ARE the oriented rows — so the join
+    probes the 1× oriented set instead of the 2× symmetric union with
+    half its output discarded by the v > u filter. m(u) still aggregates
+    over both orientations. Identical output to
+    ``_star(_symmetric(e), large=True)``; round 1 is where the edge set
+    is largest, so this is where the halving pays."""
+    mins = (
+        e.select(F.col("u").alias("n"), F.col("v").alias("c"))
+        .unionByName(e.select(F.col("v").alias("n"), F.col("u").alias("c")))
+        .groupBy("n")
+        .agg(F.min("c").alias("_mn"))
+    )
+    m = F.least(F.col("n"), F.col("_mn"))
+    return (
+        e.join(mins, e["u"] == mins["n"])
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -81,6 +106,8 @@ def connected_components(
     node_col: str | None = None,
     max_iter: int = 25,
     scratch_dir: str | None = None,
+    edges_distinct: bool = False,
+    edges_oriented: bool = False,
 ) -> DataFrame:
     """(node, component) for every node touched by ``edges`` — plus every
     row of ``nodes`` (optional: isolated nodes become their own singleton
@@ -96,7 +123,21 @@ def connected_components(
 
     ``max_iter`` bounds the alternating rounds; 25 covers > 10^7-node
     components (O(log n) convergence). Raises RuntimeError if the star
-    fixed point is not reached — never returns a half-contracted result."""
+    fixed point is not reached — never returns a half-contracted result.
+
+    ``edges_distinct``: callers that GUARANTEE one row per directed edge
+    (e.g. minhash_lsh_pairs' first-matching-band emission) skip the
+    defensive ``distinct()`` — at sf1.0 that is a 29M-group shuffle spent
+    re-deduplicating an already-unique set (guide §2.4: a ``distinct`` on
+    data that is already unique is an accidental exchange). The algorithm
+    itself is correct on edge multisets (min-aggregation is duplicate-
+    insensitive and every star round re-distincts), so the flag only
+    changes round-1 input volume, never the result.
+
+    ``edges_oriented``: callers that additionally guarantee src < dst on
+    every row let round 1 run the specialized oriented large-star
+    (:func:`_large_star_oriented` — identical output, half the join
+    volume on the round where the edge set is largest)."""
     import uuid
 
     spark = edges.sparkSession
@@ -106,8 +147,9 @@ def connected_components(
         )
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
+    if not edges_distinct:
+        e = e.distinct()
 
     # per-call staging token: the RETURNED DataFrame keeps reading the
     # final staged parquet lazily, so a later call reusing the same
@@ -133,11 +175,22 @@ def connected_components(
         return row["n"], row["h"]
 
     e = _stage(e, 0)
-    prev = _sig(e)
-    converged = prev[0] == 0
+    # round-1 convergence checking needs only the COUNT of the staged
+    # input (emptiness short-circuit); the hash half of the signature is
+    # first needed when comparing round 2 against round 1, so the full
+    # count+hash scan over the (largest) initial edge set is skipped —
+    # at sf1.0 that was a 29M-row xxhash+decimal-sum pass. An
+    # already-star input converges one (cheap) round later, identically.
+    n0 = e.count()
+    prev = (n0, None)
+    converged = n0 == 0
     last = 0
     for i in range(1, max_iter + 1):
-        e = _star(_symmetric(_star(_symmetric(e), large=True)), large=False)
+        if i == 1 and edges_oriented:
+            big = _large_star_oriented(e)
+        else:
+            big = _star(_symmetric(e), large=True)
+        e = _star(_symmetric(big), large=False)
         e = _stage(e, i)
         last = i
         cur = _sig(e)
@@ -195,12 +248,16 @@ def dedup_clusters(
     dst: str = "id_b",
     max_iter: int = 25,
     scratch_dir: str | None = None,
+    edges_distinct: bool = False,
+    edges_oriented: bool = False,
 ) -> DataFrame:
     """Cluster every document by near-duplicate connectivity:
     (doc_id, component_id, is_canonical). ``component_id`` is the min
     doc id in the transitive near-dup cluster; ``is_canonical`` marks the
     one survivor per cluster (singletons are trivially canonical). Filter
-    ``is_canonical`` to materialize the deduplicated corpus."""
+    ``is_canonical`` to materialize the deduplicated corpus.
+    ``edges_distinct`` forwards the caller's one-row-per-pair guarantee
+    to :func:`connected_components` (skips the defensive distinct)."""
     comp = connected_components(
         pairs,
         src=src,
@@ -209,6 +266,8 @@ def dedup_clusters(
         node_col=id_col,
         max_iter=max_iter,
         scratch_dir=scratch_dir,
+        edges_distinct=edges_distinct,
+        edges_oriented=edges_oriented,
     )
     return comp.select(
         F.col("node").alias(id_col),

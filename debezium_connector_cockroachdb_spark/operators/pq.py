@@ -66,37 +66,10 @@ def _dot_seq(a: Column, b: Column) -> Column:
     )
 
 
-def _sub_rows(v: DataFrame, m: int, subdim: int, id_col: str) -> DataFrame:
-    """(id, _j, _sv): each vector exploded into its m subspace slices."""
-    slices = F.array(*[F.slice(F.col("_v"), j * subdim + 1, subdim) for j in range(m)])
-    return v.select(F.col(id_col), F.posexplode(slices).alias("_j", "_sv"))
-
-
 def _codebook_df(spark, codebook: Codebook) -> DataFrame:
     return spark.createDataFrame(
         [(j, c, list(cw)) for j, c, cw in codebook],
         "_j int, _code int, _cw array<double>",
-    )
-
-
-def _assign(sub: DataFrame, codebook_df: DataFrame, id_col: str, carry_sv: bool) -> DataFrame:
-    """Arg-min codeword per (id, subspace) via broadcast join + two-phase
-    min aggregation (map-side combinable; the shuffle carries one narrow
-    row per (id, j), never the ksub candidate fan-out). Ties break toward
-    the lowest code — the struct min compares (dist, code, n2) and equal
-    (dist, code) implies equal n2, so the trailing norm field rides along
-    without affecting the order."""
-    d = _sqdist(F.col("_sv"), F.col("_cw"))
-    n2 = _dot_seq(F.col("_cw"), F.col("_cw"))
-    aggs = [F.min(F.struct(d.alias("d"), F.col("_code").alias("c"), n2.alias("n2"))).alias("_b")]
-    if carry_sv:
-        # (id, j) determines _sv, so every row in the group carries the
-        # same value and first() is deterministic here
-        aggs.append(F.first("_sv").alias("_sv"))
-    return (
-        sub.join(F.broadcast(codebook_df), "_j")
-        .groupBy(id_col, "_j")
-        .agg(*aggs)
     )
 
 
@@ -112,10 +85,10 @@ def pq_train(
     """Train the m-subspace codebook: deterministic stride seeding (the
     same widening hash filter as similarity.ivf_assign — never a global
     sort) and ``n_iters`` Lloyd steps in which ALL subspaces assign and
-    re-center together (one broadcast join + one (j, code, pos) mean per
-    step). Returns [(j, code, codeword)] with ksub codes per subspace;
-    cells that attract no vectors keep their previous codeword."""
-    spark = corpus.sparkSession
+    re-center together (one map-only sequential-fold kernel pass + one
+    (j, code, pos) mean per step). Returns [(j, code, codeword)] with
+    ksub codes per subspace; cells that attract no vectors keep their
+    previous codeword."""
     v = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
     first = v.select(F.size("_v").alias("d")).limit(1).collect()
     if not first:
@@ -144,11 +117,21 @@ def pq_train(
         for c, r in enumerate(seed_rows)
     ]
 
-    sub = _sub_rows(v, m, subdim, id_col)
     for _it in range(n_iters):
-        assigned = _assign(sub, _codebook_df(spark, codebook), id_col, carry_sv=True)
+        # map-only assignment (bit-identical sequential-fold kernel), then
+        # the same (j, code, pos) mean as before over the identical value
+        # multiset — the explode → broadcast-join → two-phase argmin chain
+        # this replaces spent its wall in per-element HOF interpretation
+        # (guide §4.2); only the codebook-sized mean rows reach the driver
+        assigned = _encode_arrow_seq(v, codebook, id_col, "_v", carry_vec=True)
         rows = (
-            assigned.select("_j", F.col("_b.c").alias("_c"), F.posexplode("_sv").alias("_pos", "_x"))
+            assigned.select(F.posexplode("codes").alias("_j", "_c"), "_v")
+            .select(
+                "_j", "_c",
+                F.posexplode(
+                    F.slice("_v", F.col("_j") * subdim + 1, subdim)
+                ).alias("_pos", "_x"),
+            )
             .groupBy("_j", "_c", "_pos")
             .agg(F.avg("_x").alias("_mean"))
             .collect()
@@ -161,6 +144,103 @@ def pq_train(
             for j, c, cw in codebook
         ]
     return codebook
+
+
+def _codebook_mats(codebook: Codebook):
+    """(m, ksub, subdim) codeword tensor + per-(j, code) squared norms
+    computed with _dot_seq's sequential fold order (plain Python float64:
+    ``((0 + x0·x0) + x1·x1) + ...`` — bit-identical to the expr fold)."""
+    import numpy as np
+
+    m = 1 + max(j for j, _c, _cw in codebook)
+    ksub = 1 + max(c for _j, c, _cw in codebook)
+    subdim = len(codebook[0][2])
+    cmat = np.zeros((m, ksub, subdim))
+    cn2 = np.zeros((m, ksub))
+    for j, c, cw in codebook:
+        cmat[j, c] = cw
+        acc = 0.0
+        for x in cw:
+            acc += x * x
+        cn2[j, c] = acc
+    return m, ksub, subdim, cmat, cn2
+
+
+def _encode_arrow_seq(
+    corpus: DataFrame,
+    codebook: Codebook,
+    id_col: str,
+    vec_col: str,
+    carry_vec: bool = False,
+) -> DataFrame:
+    """Arrow-batched encode that is BIT-IDENTICAL to the retired expr/HOF
+    encode (and to the SQL oracle downstream of a staged codebook): every
+    subspace distance is folded one dimension at a time across the batch
+    (``acc += (x_d − c_d)²`` — the exact _sqdist left fold), arg-min ties
+    break to the lowest code (np.argmin first-hit on bit-identical
+    distances), codeword norms and the reconstructed ``approx_n2`` fold
+    in the same sequential orders as _dot_seq / the sorted-by-subspace
+    aggregate. Map-only — replaces the explode → broadcast-join →
+    two-phase-argmin chain whose per-element HOF interpretation dominated
+    the PQ rows (guide §4.2). Null / wrong-width rows degrade to null
+    codes. ``carry_vec=True`` passes the double vector through for the
+    training re-center step."""
+    import numpy as np
+    import pyarrow as pa
+
+    m, ksub, subdim, cmat, cn2 = _codebook_mats(codebook)
+    dim = m * subdim
+
+    def encode(batches):
+        for b in batches:
+            n = b.num_rows
+            if not n:
+                continue
+            ids = b.column(0)
+            lens = _row_lengths(b.column(1))
+
+            def codes_for(x):
+                xs = x.reshape(len(x), m, subdim)
+                acc = np.zeros((len(x), m, ksub))
+                for d in range(subdim):
+                    diff = xs[:, :, d, None] - cmat[None, :, :, d]
+                    acc = acc + diff * diff
+                codes = np.argmin(acc, axis=2)  # ties -> lowest code
+                a2 = np.zeros(len(x))
+                for j in range(m):  # sequential subspace-order fold
+                    a2 = a2 + cn2[j, codes[:, j]]
+                return codes.astype("int32"), a2
+
+            if _clean(lens) and int(lens[0]) == dim:
+                codes, n2 = codes_for(_flat(b.column(1)))
+                codes_out = pa.array(codes.tolist(), pa.list_(pa.int32()))
+                n2_out = pa.array(n2, pa.float64())
+            else:
+                valid = lens == dim
+                codes_obj = np.empty(n, dtype=object)
+                n2_obj = np.empty(n, dtype=object)
+                if valid.any():
+                    codes, n2 = codes_for(_gather(b.column(1), valid, lens))
+                    codes_obj[valid] = [c.tolist() for c in codes]
+                    n2_obj[valid] = list(n2)
+                codes_out = pa.array(codes_obj.tolist(), pa.list_(pa.int32()))
+                n2_out = pa.array(n2_obj.tolist(), pa.float64())
+            cols = [ids, codes_out, n2_out]
+            names = ["_id", "codes", "approx_n2"]
+            if carry_vec:
+                cols.append(b.column(1))
+                names.append("_v")
+            yield pa.RecordBatch.from_arrays(cols, names)
+
+    id_type = dict(corpus.dtypes)[id_col]
+    schema = f"_id {id_type}, codes array<int>, approx_n2 double"
+    if carry_vec:
+        schema += ", _v array<double>"
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+        .mapInArrow(encode, schema)
+        .withColumnRenamed("_id", id_col)
+    )
 
 
 def _encode_arrow(
@@ -239,32 +319,18 @@ def pq_encode(
     """Compress each vector to (id, codes array<int>, approx_n2 double):
     per-subspace arg-min codes (subspace order) plus the reconstructed
     squared norm Σ_j ||codeword_{codes_j}||², folded in subspace order so
-    the SQL oracle reproduces the float sum bit-for-bit. One broadcast
-    join + one narrow shuffle per vector — the 10^9-row path.
+    the SQL oracle reproduces the float sum bit-for-bit. Map-only over
+    the scan — the 10^9-row path. ``kernel="expr"`` (the oracle-exact
+    default) runs the sequential-fold Arrow kernel, which reproduces the
+    retired HOF expression chain bit-for-bit at batch speed;
     ``kernel="arrow"`` batches the arg-min through one einsum GEMM per
-    Arrow batch instead (map-only; the realistic-dimension path)."""
+    Arrow batch instead (equivalent up to float-summation order; the
+    realistic-dimension path)."""
     if kernel == "arrow":
         return _encode_arrow(corpus, codebook, id_col, vec_col)
     if kernel != "expr":
         raise ValueError(f"unknown kernel {kernel!r} (expected 'expr' or 'arrow')")
-    m = 1 + max(j for j, _c, _cw in codebook)
-    subdim = len(codebook[0][2])
-    v = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
-    sub = _sub_rows(v, m, subdim, id_col)
-    assigned = _assign(sub, _codebook_df(corpus.sparkSession, codebook), id_col, carry_sv=False)
-    packed = F.struct(F.col("_j"), F.col("_b.c").alias("c"), F.col("_b.n2").alias("n2"))
-    return (
-        assigned.select(F.col(id_col), packed.alias("_p"))
-        .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list("_p")).alias("_ps"))
-        .select(
-            F.col(id_col),
-            F.transform("_ps", lambda x: x["c"]).alias("codes"),
-            F.aggregate(
-                F.transform("_ps", lambda x: x["n2"]), F.lit(0.0), lambda a, x: a + x
-            ).alias("approx_n2"),
-        )
-    )
+    return _encode_arrow_seq(corpus, codebook, id_col, vec_col)
 
 
 def cosine_topk_pq(

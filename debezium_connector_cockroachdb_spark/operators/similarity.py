@@ -215,6 +215,129 @@ def _plane_matrix(n_planes: int, dim: int):
     )
 
 
+# ---- sequential-fold NumPy kernels: bit-identical to the expr kernels ----
+#
+# The GEMM kernels above trade float-summation ORDER for speed (documented:
+# a bucket bit or a rounded 6th decimal can flip on knife-edge sums, so the
+# oracle-gated queries could not use them). The kernels below keep the
+# expression kernels' EXACT left-fold order — ``acc = ((0 + x0·y0) + x1·y1)
+# + ...`` — by accumulating one dimension at a time across the whole batch
+# (``acc += X[:, d] * Y[:, d]``): each row's partial sums pass through the
+# identical sequence of float64 operations as ``F.aggregate(zip_with(...))``,
+# so the results are bit-identical, while the per-dimension steps are
+# vectorized NumPy instead of per-element Catalyst interpretation (the
+# measured wall at sf1.0: 463 s of interpreted HOF cosine in
+# embedding_near_duplicates). O(dim) vectorized steps per batch.
+
+def _seq_dot_pairs(X, Y):
+    """Row-wise dot products with the expr kernel's sequential fold order."""
+    import numpy as np
+
+    acc = np.zeros(X.shape[0])
+    for d in range(X.shape[1]):
+        acc = acc + X[:, d] * Y[:, d]
+    return acc
+
+
+def _seq_norms(X):
+    """Row norms with _norm's sequential fold order (sqrt of Σ v·v)."""
+    import numpy as np
+
+    acc = np.zeros(X.shape[0])
+    for d in range(X.shape[1]):
+        v = X[:, d]
+        acc = acc + v * v
+    return np.sqrt(acc)
+
+
+def _seq_dot_cross(A, B):
+    """All-pairs dot products of A (m×d) × B (n×d), sequential fold order
+    per pair (the (m,n) accumulator gains one product per dimension — the
+    same left fold as _dot, vectorized across pairs)."""
+    import numpy as np
+
+    acc = np.zeros((A.shape[0], B.shape[0]))
+    for d in range(A.shape[1]):
+        acc = acc + A[:, d, None] * B[None, :, d]
+    return acc
+
+
+def _seq_plane_sums(X, n_planes: int):
+    """Per-plane signed sums with lsh_bucket's sequential fold order:
+    plane b's sum for a row is ``((0 + v0·s0) + v1·s1) + ...`` exactly."""
+    import numpy as np
+
+    P = _plane_matrix(n_planes, X.shape[1])
+    acc = np.zeros((X.shape[0], n_planes))
+    for d in range(X.shape[1]):
+        acc = acc + X[:, d, None] * P[None, :, d]
+    return acc
+
+
+def lsh_bucket_arrow_seq(vec: Column, n_planes: int) -> Column:
+    """Sign-LSH bucket ids, BIT-IDENTICAL to ``lsh_bucket`` (sequential
+    per-dimension fold, strict ``> 0`` sign test, exact integer bit sum) —
+    safe for oracle-gated paths, unlike the GEMM ``lsh_bucket_arrow``."""
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf("long")
+    def _bucket(v: pa.Array) -> pa.Array:
+        import numpy as np
+
+        lens = _row_lengths(v)
+        n = len(lens)
+        if not n:
+            return pa.array([], pa.int64())
+        weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+
+        def vals_for(x):
+            bits = (_seq_plane_sums(x, n_planes) > 0).astype(np.int64)
+            return bits @ weights
+
+        if _clean(lens):
+            return pa.array(vals_for(_flat(v)))
+        # dirty batch: bucket each row at ITS length (the expr kernel folds
+        # over whatever length the row has); null rows stay null
+        out = np.empty(n, dtype=object)
+        for d in np.unique(lens[lens >= 0]):
+            m = lens == d
+            out[m] = list(vals_for(_gather(v, m, lens)))
+        return pa.array(out.tolist(), pa.int64())
+
+    return _bucket(vec)
+
+
+def cosine_arrow_seq(a: Column, b: Column) -> Column:
+    """Row-wise cosine, BIT-IDENTICAL to the expr ``cosine`` (sequential
+    folds for dot and both norms, then the same ``dot / (na · nb)``).
+    Pairs whose arrays differ in length yield NULL — matching zip_with's
+    null-padding, which nulls the whole fold."""
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf("double")
+    def _cos(x: pa.Array, y: pa.Array) -> pa.Array:
+        import numpy as np
+
+        la, lb = _row_lengths(x), _row_lengths(y)
+        n = len(la)
+        if not n:
+            return pa.array([], pa.float64())
+
+        def vals_for(xs, ys):
+            return _seq_dot_pairs(xs, ys) / (_seq_norms(xs) * _seq_norms(ys))
+
+        if _clean(la) and _clean(lb) and la[0] == lb[0]:
+            return pa.array(vals_for(_flat(x), _flat(y)))
+        valid = (la >= 0) & (la == lb)
+        out = np.empty(n, dtype=object)
+        for d in np.unique(la[valid]):
+            m = valid & (la == d)
+            out[m] = list(vals_for(_gather(x, m, la), _gather(y, m, lb)))
+        return pa.array(out.tolist(), pa.float64())
+
+    return _cos(a, b)
+
+
 def lsh_bucket_arrow(vec: Column, n_planes: int) -> Column:
     """Sign-LSH bucket id via one Arrow-batched matmul per batch."""
     from pyspark.sql.functions import arrow_udf
@@ -608,6 +731,89 @@ def cosine_topk_ivf(
     return _topk_per_query(scored, query_id_col, k)
 
 
+def _chunk_pair_kernel(threshold: float, seq: bool, id_dtype: str):
+    """mapInArrow kernel over chunk-pair rows: each input row carries two
+    chunk groups of (id, vector); the kernel scores every cross pair and
+    emits candidates at ``cos >= threshold - 1e-6`` (plus non-finite cos,
+    which Spark's NaN-ordering treats as ≥ any threshold) — the caller
+    applies the EXACT ``round(cos, 6) >= threshold`` filter in the JVM, so
+    the margin can never change the result set. ``seq=True`` computes dots
+    and norms with the expr kernels' sequential fold order (bit-identical
+    cosines); ``seq=False`` uses GEMM (the high-dim kernel="arrow" path).
+    Pairs are scored only at matching vector lengths (a cross-length pair
+    is NULL under zip_with's null padding, i.e. never a result row)."""
+    import numpy as np
+
+    margin = threshold - 1e-6
+
+    def side(struct_arr):
+        """group items → {vector length: (ids, matrix)} (null vecs drop)."""
+        ids = np.asarray(struct_arr.field(0))
+        vl = struct_arr.field(1)
+        lens = np.asarray(vl.value_lengths().fill_null(-1))
+        flat = np.asarray(vl.flatten())
+        keep = lens >= 0
+        keep_ids, keep_lens = ids[keep], lens[keep]
+        starts = np.concatenate(([0], np.cumsum(keep_lens)[:-1]))
+        out = {}
+        for ln in np.unique(keep_lens):
+            m = keep_lens == ln
+            rows = [flat[s : s + ln] for s, ok in zip(starts, m) if ok]
+            mat = np.stack(rows) if ln else np.zeros((int(m.sum()), 0))
+            out[int(ln)] = (keep_ids[m], mat)
+        return out
+
+    def run(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            ca, cb = b.column(0), b.column(1)
+            ia, ib = b.column(2), b.column(3)
+            lo_out, hi_out, cos_out = [], [], []
+            for r in range(b.num_rows):
+                same = ca[r].as_py() == cb[r].as_py()
+                a_side = side(ia[r].values)
+                b_side = a_side if same else side(ib[r].values)
+                for ln, (aids, amat) in a_side.items():
+                    if ln not in b_side:
+                        continue
+                    bids, bmat = b_side[ln]
+                    if seq:
+                        dots = _seq_dot_cross(amat, bmat)
+                        na, nb = _seq_norms(amat), _seq_norms(bmat)
+                    else:
+                        dots = amat @ bmat.T
+                        na = np.linalg.norm(amat, axis=1)
+                        nb = np.linalg.norm(bmat, axis=1)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = dots / (na[:, None] * nb[None, :])
+                    if same:
+                        mask = aids[:, None] < bids[None, :]
+                    else:
+                        mask = aids[:, None] != bids[None, :]
+                    keep = mask & ((cos >= margin) | ~np.isfinite(cos))
+                    i, j = np.nonzero(keep)
+                    if len(i):
+                        ai, bj = aids[i], bids[j]
+                        lo_out.append(np.minimum(ai, bj))
+                        hi_out.append(np.maximum(ai, bj))
+                        cos_out.append(cos[i, j])
+            if lo_out:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(lo_out)).cast(id_dtype),
+                        pa.array(np.concatenate(hi_out)).cast(id_dtype),
+                        pa.array(np.concatenate(cos_out), pa.float64()),
+                    ],
+                    ["id_a", "id_b", "_cos"],
+                )
+
+    return run
+
+
+_INTEGRAL_DTYPES = {"tinyint": "int8", "smallint": "int16", "int": "int32", "bigint": "int64"}
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,
@@ -616,14 +822,80 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     n_vectors: int | None = None,
     kernel: str = "expr",
+    chunk_target: int = 1024,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cos ≥ threshold), LSH-blocked: pairs
     are only compared within a bucket — at ≥0.95 cosine the sign vectors
     nearly always agree, so recall stays high while candidates drop from
     N² to Σ bucket². ``n_planes=None`` auto-scales with corpus size;
-    ``n_vectors`` (catalog/manifest row count) makes that count-free."""
+    ``n_vectors`` (catalog/manifest row count) makes that count-free.
+
+    Execution (round 6): within-bucket scoring is CHUNK-BLOCKED instead of
+    a row-level self-join — each bucket's vectors are split into
+    ~``chunk_target``-row chunks (deterministic id-hash assignment), chunk
+    pairs are joined and each pair is scored as one NumPy block inside a
+    ``mapInArrow`` kernel (guide §8: decide with small rows / move payload
+    once — the payload is shuffled once into chunk groups, never through a
+    pair-level join, and the per-pair arithmetic leaves the interpreted
+    HOF path, measured 463 s → see OPTIMIZATION_r06.md). kernel="expr"
+    keeps the expression kernels' float summation order bit-exactly
+    (sequential per-dimension folds); kernel="arrow" uses GEMM. Ids that
+    are not an integral type fall back to the row-level join."""
     if n_planes is None:
         n_planes = auto_n_planes(df.count() if n_vectors is None else n_vectors)
+    id_dtype = dict(df.dtypes).get(id_col)
+    if kernel not in ("expr", "arrow") or id_dtype not in _INTEGRAL_DTYPES:
+        return _near_duplicates_pairjoin(df, threshold, n_planes, id_col, vec_col, kernel)
+    seq = kernel == "expr"
+    bucket_fn = lsh_bucket_arrow_seq if seq else lsh_bucket_arrow
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        bucket_fn(F.col(vec_col).cast("array<double>"), n_planes).alias("_bkt"),
+    ).filter(F.col("_bkt").isNotNull())
+    # bucket sizes → per-bucket chunk count (expected chunk ≈ chunk_target
+    # rows); the size table is one row per NON-EMPTY bucket (≈ N/target at
+    # auto planes), joined back post-shuffle where AQE picks broadcast
+    # when it is small. Chunk assignment hashes the id — deterministic
+    # under retries (guide §2.5), duplicate ids co-locate.
+    sizes = v.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    nc = F.greatest(F.ceil(F.col("_n") / F.lit(chunk_target)), F.lit(1)).cast("int")
+    vc = v.join(sizes.select("_bkt", nc.alias("_nc")), "_bkt")
+    vc = vc.withColumn("_ch", F.pmod(F.xxhash64("_id"), F.col("_nc")).cast("int"))
+    groups = vc.groupBy("_bkt", "_ch").agg(
+        F.collect_list(F.struct(F.col("_id"), F.col("_v"))).alias("_items")
+    )
+    ga = groups.select("_bkt", F.col("_ch").alias("_ca"), F.col("_items").alias("_ia"))
+    gb = groups.select("_bkt", F.col("_ch").alias("_cb"), F.col("_items").alias("_ib"))
+    pairs = ga.join(gb, "_bkt").filter(F.col("_ca") <= F.col("_cb"))
+    # chunk-pair rows are few but heavy (two ~chunk_target×dim payloads);
+    # spread them over the cluster before the kernel — the bucket join
+    # alone leaves them partitioned by the (possibly few) bucket keys
+    npart = df.sparkSession.sparkContext.defaultParallelism * 2
+    scored = (
+        pairs.repartition(npart, "_bkt", "_ca", "_cb")
+        .select("_ca", "_cb", "_ia", "_ib")
+        .mapInArrow(
+            _chunk_pair_kernel(threshold, seq, _INTEGRAL_DTYPES[id_dtype]),
+            f"id_a {id_dtype}, id_b {id_dtype}, _cos double",
+        )
+    )
+    return (
+        scored.select("id_a", "id_b", F.round(F.col("_cos"), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _near_duplicates_pairjoin(
+    df: DataFrame,
+    threshold: float,
+    n_planes: int,
+    id_col: str,
+    vec_col: str,
+    kernel: str,
+) -> DataFrame:
+    """Row-level within-bucket self-join (the pre-round-6 shape): kept as
+    the fallback for non-integral id types and exotic kernels."""
     bucket_fn = lsh_bucket_arrow if kernel == "arrow" else lsh_bucket
     cos_fn = _cosine_kernel(kernel)
     v = df.select(

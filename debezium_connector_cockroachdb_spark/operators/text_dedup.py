@@ -56,20 +56,36 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 # ---------------- shingling ----------------
 
-def char_shingles(text: Column, n: int = 5) -> Column:
-    """Distinct character n-grams of the normalized text (JVM-side:
-    sequence + transform + array_distinct; no UDF)."""
-    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+def _norm_text(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def _shingles_of_norm(norm: Column, n: int) -> Column:
     length = F.length(norm)
     idx = F.sequence(F.lit(1), F.greatest(length - F.lit(n - 1), F.lit(1)))
     return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(n))))
 
 
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Distinct character n-grams of the normalized text (JVM-side:
+    sequence + transform + array_distinct; no UDF). NOTE: the transform
+    lambda closes over the normalization chain, which Catalyst re-evaluates
+    PER SHINGLE — fine for one-off column use, but bulk consumers should go
+    through :func:`shingle_table`, which projects the normalized text once
+    per document first (measured at sf1.0: 177 s → 23 s for the staged
+    shingle explode; guide §1.2 "per-task work")."""
+    return _shingles_of_norm(_norm_text(text), n)
+
+
 def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5) -> DataFrame:
     """(doc_id, shingle) exploded — the normalized form every similarity
-    operator shares."""
+    operator shares. The normalization is evaluated once per document via
+    an explicit projection (the Generate boundary keeps CollapseProject
+    from re-inlining it into the per-shingle lambda)."""
     return df.select(
-        F.col(id_col), F.explode(char_shingles(F.col(text_col), n)).alias("shingle")
+        F.col(id_col), _norm_text(F.col(text_col)).alias("_norm")
+    ).select(
+        F.col(id_col), F.explode(_shingles_of_norm(F.col("_norm"), n)).alias("shingle")
     )
 
 
@@ -186,48 +202,91 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     scratch_dir: str | None = None,
     shingles: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs via banded LSH over MinHash signatures, scored by
     signature agreement (estimated Jaccard = matching minhashes / k).
     bands·rows = k; a pair is a candidate if ANY band matches fully.
 
-    ``scratch_dir``: when given, the signature table (consumed 3× —
-    bucket explode + both pair sides) is staged once as parquet and
-    re-read, mirroring the shingle staging above. Deliberately NOT
-    ``.persist()``: k longs × 10^10 docs pinned in executor memory is the
-    100 TB failure mode; parquet staging is bounded by disk and lets each
-    consumer prune to the columns it reads. When None the signature chain
-    recomputes per consumer (fine at test scale)."""
+    ``scratch_dir``: when given, the signature table (consumed on both
+    pair sides) is staged once as parquet and re-read, mirroring the
+    shingle staging above. Deliberately NOT ``.persist()``: k longs ×
+    10^10 docs pinned in executor memory is the 100 TB failure mode;
+    parquet staging is bounded by disk and lets each consumer prune to
+    the columns it reads. When None the signature chain recomputes per
+    consumer (fine at test scale). ``sig``: a pre-computed signature
+    table for exactly ``df`` (e.g. one staged table shared between the
+    pair gate and dedup_clusters); takes precedence over both."""
     assert k % bands == 0
     rows = k // bands
-    sig = minhash_signatures(df, k, n, text_col, id_col, shingles=shingles)
-    if scratch_dir:
-        sig.write.mode("overwrite").parquet(scratch_dir)
-        sig = df.sparkSession.read.parquet(scratch_dir)
+    if sig is None:
+        sig = minhash_signatures(df, k, n, text_col, id_col, shingles=shingles)
+        if scratch_dir:
+            sig.write.mode("overwrite").parquet(scratch_dir)
+            sig = sig.sparkSession.read.parquet(scratch_dir)
 
+    # The FULL signature rides each band-bucket row (k longs — still a
+    # narrow row), so the candidate join scores est_jaccard inline and the
+    # classic first-matching-band rule (emit a pair only from the LOWEST
+    # band index on which it matches; cf. Leskovec/Rajaraman/Ullman, MMDS
+    # ch.3 LSH) dedups candidates WITHOUT a pairwise distinct. The previous
+    # shape shipped every duplicate band hit into a distinct() — measured
+    # at sf1.0: a 62M-row/61M-group shuffle costing 73 of the row's 105 s —
+    # and then re-attached both signatures with two more joins over the
+    # 29M survivors. Now: one band join, a codegen'd per-row predicate,
+    # zero pair-sized shuffles (guide §2.4: remove shuffles outright).
     band_cols = [
         F.struct(F.lit(b).alias("band"), *[F.col(f"mh{b * rows + r}").alias(f"v{r}") for r in range(rows)]).alias(f"b{b}")
         for b in range(bands)
     ]
-    buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
-    a = buckets.select(F.col(id_col).alias("id_a"), "bk")
-    b = buckets.select(F.col(id_col).alias("id_b"), "bk")
-    cand = (
-        a.join(b, "bk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    buckets = sig.select(
+        F.col(id_col),
+        *[F.col(f"mh{j}") for j in range(k)],
+        F.explode(F.array(*band_cols)).alias("bk"),
     )
-    sa = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(k)])
-    sb = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(k)])
+    a = buckets.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(k)], "bk"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(k)], "bk"
+    )
+
+    def band_match(bb: int) -> Column:
+        cond = F.lit(True)
+        for r in range(rows):
+            j = bb * rows + r
+            cond = cond & (F.col(f"a{j}") == F.col(f"b{j}"))
+        return cond
+
+    # joined on band B, keep the row only if no band b' < B also matches
+    first_match = F.lit(True)
+    for bb in range(bands - 1):
+        first_match = first_match & (
+            (F.col("bk").getField("band") <= F.lit(bb)) | ~band_match(bb)
+        )
     agree = sum(
         (F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(k)), F.lit(0)
     )
+    # `agree` is an integer in 0..k, so `round(agree/k, 6) >= threshold`
+    # collapses to an integer comparison against a boundary computed ONCE
+    # at plan time (replicating Spark's Round — BigDecimal HALF_UP over
+    # the double's shortest decimal repr — via the decimal module).
+    # Catalyst pushes the whole filter into the join condition, where the
+    # previous per-candidate round() ran a BigDecimal allocation on every
+    # one of the 62M probed pairs at sf1.0; the est column itself is now
+    # computed only for surviving rows, identically.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _spark_round6(v: float) -> float:
+        return float(Decimal(repr(v)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    min_agree = next(
+        (g for g in range(k + 1) if _spark_round6(g / k) >= threshold), k + 1
+    )
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        a.join(b, "bk")
+        .filter((F.col("id_a") < F.col("id_b")) & first_match & (agree >= F.lit(min_agree)))
         .withColumn("est_jaccard", F.round(agree / F.lit(k), 6))
-        .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
 

@@ -40,6 +40,19 @@ _WORK = os.path.join(
 )
 
 
+def _stage_root() -> str:
+    """Scratch root for Spark-side-only staging (shingles, signatures, CC
+    rounds). Mirrors bench.py's BENCH_TMPFS policy: in local mode every
+    staged byte funnels through ONE virtio disk, which a real cluster's
+    per-executor disks would not; tmpfs keeps the measurement about the
+    engine (bench.py applies the same policy to its own scratch). Staging
+    that the frozen oracle SQL reads back (PQ codebooks, IVF centroids)
+    stays under _WORK — those paths are embedded in the oracle text."""
+    if os.environ.get("BENCH_TMPFS", "1") == "1" and os.path.isdir("/dev/shm"):
+        return "/dev/shm/spark_graft_qstage"
+    return _WORK
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -65,11 +78,35 @@ def _staged_shingles(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
         # sf_dir so two datasets can never share a staging directory
         tag = sf_dir.strip("/").replace("/", "_")
         digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        path = os.path.join(_WORK, "shingle_cache", f"{tag}_{digest}_n{n}")
+        path = os.path.join(_stage_root(), "shingle_cache", f"{tag}_{digest}_n{n}")
         text_dedup.shingle_table(_t(spark, sf_dir, "documents"), n=n).write.mode(
             "overwrite"
         ).parquet(path)
         _SHINGLE_STAGE[key] = path
+    return spark.read.parquet(path)
+
+
+# shared MinHash-signature staging (same contract and rationale as the
+# shingle staging above): minhash_lsh_pairs and dedup_clusters both
+# consume the SAME k-wide signature table; staging it once per
+# (process, sf_dir) replaces a per-call recompute+rewrite. Process-local
+# keying keeps it stale-proof.
+_MINHASH_SIG_STAGE: dict[tuple[str, int], str] = {}
+
+
+def _staged_minhash_sig(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    key = (sf_dir, k)
+    path = _MINHASH_SIG_STAGE.get(key)
+    if path is None:
+        import hashlib
+
+        tag = sf_dir.strip("/").replace("/", "_")
+        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = os.path.join(_stage_root(), "minhash_sig_cache", f"{tag}_{digest}_k{k}")
+        text_dedup.minhash_signatures(
+            None, k, shingles=_staged_shingles(spark, sf_dir)
+        ).write.mode("overwrite").parquet(path)
+        _MINHASH_SIG_STAGE[key] = path
     return spark.read.parquet(path)
 
 
@@ -1628,8 +1665,7 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim FROM ranked WHE
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_dedup.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), k=MINHASH_K_ORACLE, bands=4, threshold=0.375,
-        scratch_dir=os.path.join(_WORK, "minhash_sig"),
-        shingles=_staged_shingles(spark, sf_dir),
+        sig=_staged_minhash_sig(spark, sf_dir, MINHASH_K_ORACLE),
     )
 
 
@@ -1667,11 +1703,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = text_dedup.minhash_lsh_pairs(
         docs, k=MINHASH_K_ORACLE, bands=4, threshold=0.375,
-        scratch_dir=os.path.join(_WORK, "minhash_sig"),
-        shingles=_staged_shingles(spark, sf_dir),
+        sig=_staged_minhash_sig(spark, sf_dir, MINHASH_K_ORACLE),
     )
     return components.dedup_clusters(
-        docs, pairs, scratch_dir=os.path.join(_WORK, "cc_stage")
+        docs, pairs, scratch_dir=os.path.join(_stage_root(), "cc_stage"),
+        # minhash_lsh_pairs emits each pair exactly once (first matching
+        # band) with id_a < id_b, so CC skips its defensive 29M-group
+        # distinct and runs the oriented round-1 large-star
+        edges_distinct=True,
+        edges_oriented=True,
     )
 
 
@@ -1751,7 +1791,8 @@ def q_ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     them: corpus cell assignment, query probing, scoring, ranking."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    assigned, cents = similarity.ivf_assign(emb, n_centroids=8)
+    n_emb = emb.count()
+    assigned, cents = similarity.ivf_assign(emb, n_centroids=8, n_vectors=n_emb)
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -1765,7 +1806,7 @@ def q_ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # freshness marker (same contract as the replay staging): the oracle
     # verifies the centroids were derived from THIS sf dir's embeddings
     pq.write_table(
-        pa.table({"n_vecs": [emb.count()]}),
+        pa.table({"n_vecs": [n_emb]}),
         os.path.join(_IVF_CENTROIDS, "marker.parquet"),
     )
     return similarity.cosine_topk_ivf(
@@ -1839,7 +1880,11 @@ def q_ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    codebook = pq.pq_train(emb, m=PQ_M, ksub=PQ_KSUB)
+    # one count serves both the staging marker and the train seeding
+    # (threading the known count keeps training from re-scanning; the
+    # manifest/catalog supplies it in a real deployment)
+    n_emb = emb.count()
+    codebook = pq.pq_train(emb, m=PQ_M, ksub=PQ_KSUB, n_vectors=n_emb)
 
     import pyarrow as pa
     import pyarrow.parquet as pq_pa
@@ -1857,7 +1902,7 @@ def q_ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pq_pa.write_table(tbl, os.path.join(_PQ_CODEBOOK, "cb.parquet"))
     pq_pa.write_table(
-        pa.table({"n_vecs": [emb.count()]}),
+        pa.table({"n_vecs": [n_emb]}),
         os.path.join(_PQ_CODEBOOK, "marker.parquet"),
     )
     return pq.cosine_topk_pq(emb, queries, k=3, codebook=codebook)
@@ -1958,7 +2003,8 @@ def q_ann_cosine_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    codebook = pq.pq_train(emb, m=PQ_M, ksub=PQ_KSUB)
+    n_emb = emb.count()
+    codebook = pq.pq_train(emb, m=PQ_M, ksub=PQ_KSUB, n_vectors=n_emb)
 
     import pyarrow as pa
     import pyarrow.parquet as pq_pa
@@ -1978,7 +2024,7 @@ def q_ann_cosine_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(_PQ_RR_CODEBOOK, "cb.parquet"),
     )
     pq_pa.write_table(
-        pa.table({"n_vecs": [emb.count()]}),
+        pa.table({"n_vecs": [n_emb]}),
         os.path.join(_PQ_RR_CODEBOOK, "marker.parquet"),
     )
     return pq.cosine_topk_pq_rerank(

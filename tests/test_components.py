@@ -103,3 +103,40 @@ def test_dedup_clusters_contract(spark):
     assert canon == {0, 1, 2, 3, 6}
     # survivors = one per distinct component
     assert sorted(canon) == sorted(set(comp.values()))
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=edges_strategy)
+def test_components_oriented_fast_path_matches_generic(spark, edges):
+    """Round-6 fast paths (edges_distinct skip + oriented round-1 large
+    star) must return the identical mapping as the generic path. Edges
+    are oriented/deduped first to satisfy the caller contract the flags
+    assert (the minhash pair generator guarantees both)."""
+    oriented = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    oracle = _uf_components(40, oriented)
+    pairs = spark.createDataFrame(
+        oriented, "id_a long, id_b long"
+    ) if oriented else spark.createDataFrame([], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    got = {
+        r["node"]: r["component"]
+        for r in components.connected_components(
+            pairs, nodes=nodes, node_col="doc_id",
+            edges_distinct=True, edges_oriented=True,
+        ).collect()
+    }
+    assert got == oracle
+
+
+def test_components_oriented_path_graph(spark):
+    """The oriented fast path on the diameter-pathological path graph:
+    same O(log n) convergence and single root as the generic path."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(255)], "id_a long, id_b long"
+    )
+    out = components.connected_components(
+        pairs, edges_distinct=True, edges_oriented=True
+    ).collect()
+    assert len(out) == 256
+    assert {r["component"] for r in out} == {0}
