@@ -27,6 +27,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input yields fewer scan
+    partitions than half the cluster's cores. A compact single-row-group
+    parquet table is unsplittable, so every map-heavy kernel over it runs
+    on 1-2 tasks no matter the split sizing (measured: token-space dedup
+    4.2 s → 1.8 s at sf1.0 once spread). A real at-scale table already
+    scans as thousands of partitions, so this is a no-op there — the
+    extra exchange only ever costs at small-input sizes (guide §2.5
+    "input skew: one huge unsplittable file … repartition immediately
+    after the read")."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -90,7 +107,9 @@ def cosine_topk(
         F.col(query_id_col),
         F.col(vec_col).alias("_qv"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = spread_small_scan(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col(query_id_col))
@@ -439,7 +458,7 @@ def cosine_topk_lsh(
         n_planes = auto_n_planes(corpus.count() if n_vectors is None else n_vectors)
     bucket_fn = lsh_bucket_arrow if kernel == "arrow" else lsh_bucket
     cos_fn = _cosine_kernel(kernel)
-    c = corpus.select(
+    c = spread_small_scan(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         bucket_fn(F.col(vec_col).cast("array<double>"), n_planes).alias("_bkt"),

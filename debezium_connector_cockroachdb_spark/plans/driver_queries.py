@@ -79,9 +79,11 @@ def _staged_shingles(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
         tag = sf_dir.strip("/").replace("/", "_")
         digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         path = os.path.join(_stage_root(), "shingle_cache", f"{tag}_{digest}_n{n}")
-        text_dedup.shingle_table(_t(spark, sf_dir, "documents"), n=n).write.mode(
-            "overwrite"
-        ).parquet(path)
+        # spread the (single-row-group, unsplittable) documents scan so
+        # the shingle explode runs on every core, not 1-2 tasks
+        text_dedup.shingle_table(
+            similarity.spread_small_scan(_t(spark, sf_dir, "documents")), n=n
+        ).write.mode("overwrite").parquet(path)
         _SHINGLE_STAGE[key] = path
     return spark.read.parquet(path)
 
@@ -908,9 +910,6 @@ def _corpus_curation_sql() -> str:
     return SQL_CORPUS_CURATION_TMPL.replace("{{TEXT_ANALYSIS}}", SQL_TEXT_ANALYSIS)
 
 
-_STREAM_DEDUP_BASE = os.path.join(_WORK, "stream_dedup")
-
-
 def q_stream_dedup(spark: SparkSession, sf_dir: str, engine: str = "pandas") -> DataFrame:
     """Cross-batch STREAMING dedup (applyInPandasWithState, checkpointed
     GroupState): documents split into 3 deterministic micro-batches
@@ -923,30 +922,16 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str, engine: str = "pandas") -> 
     dropDuplicates state store (bench A/B only — its intra-batch winner is
     first-received, not min-id, so it can't face the min-id oracle)."""
     import shutil
-    import time as _time
 
     from ..streaming.stream_dedup import streaming_exact_dedup
 
-    shutil.rmtree(_STREAM_DEDUP_BASE, ignore_errors=True)
-    src = os.path.join(_STREAM_DEDUP_BASE, "src")
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    # batches 0/1: the corpus split by key parity; batch 2: a formatting-
-    # noise variant of EVERY document (upper-case + extra whitespace —
-    # identical fingerprint) arriving later. The stream must suppress all
-    # of batch 2 via cross-batch state for the row set to match the oracle.
-    batches = [
-        d.filter(F.col("doc_id") % 2 == 0),
-        d.filter(F.col("doc_id") % 2 == 1),
-        d.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
-                 F.concat(F.upper("text"), F.lit("  ")).alias("text")),
-    ]
-    for b, bdf in enumerate(batches):
-        bdf.coalesce(1).write.parquet(os.path.join(src, f"b{b}"))
-    t0 = int(_time.time()) - 3600  # force b0 < b1 < b2 admission order
-    for b in range(3):
-        bd = os.path.join(src, f"b{b}")
-        for fn in os.listdir(bd):
-            os.utime(os.path.join(bd, fn), (t0 + b, t0 + b))
+    # the 3 source batches are a pure re-layout of documents.parquet —
+    # staged once per (process, sf_dir) like the shingle table; only the
+    # stream OUTPUT / checkpoint / state store are per-call state (fresh
+    # dir per run, previous one removed)
+    src = _staged_stream_dedup_src(spark, sf_dir)
+    run_base = os.path.join(_stage_root(), "stream_dedup", f"run_{engine}")
+    shutil.rmtree(run_base, ignore_errors=True)
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
@@ -955,16 +940,56 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str, engine: str = "pandas") -> 
     q = (
         streaming_exact_dedup(stream, engine=engine)
         .writeStream.format("parquet")
-        .option("path", os.path.join(_STREAM_DEDUP_BASE, "out"))
-        .option("checkpointLocation", os.path.join(_STREAM_DEDUP_BASE, "ckpt"))
+        .option("path", os.path.join(run_base, "out"))
+        .option("checkpointLocation", os.path.join(run_base, "ckpt"))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(os.path.join(_STREAM_DEDUP_BASE, "out")).select(
+    return spark.read.parquet(os.path.join(run_base, "out")).select(
         "fp", "doc_id", "n_dropped_before_emit"
     )
+
+
+_STREAM_SRC_STAGE: dict[str, str] = {}
+
+
+def _staged_stream_dedup_src(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the 3 deterministic micro-batch source files once per
+    (process, sf_dir): batches 0/1 split the corpus by key parity, batch 2
+    is a formatting-noise variant of EVERY document (upper-case + extra
+    whitespace — identical fingerprint) arriving later; mtimes force the
+    b0 < b1 < b2 admission order. The stream must suppress all of batch 2
+    via cross-batch state for the row set to match the oracle."""
+    import hashlib
+    import time as _time
+
+    path = _STREAM_SRC_STAGE.get(sf_dir)
+    if path is not None:
+        return path
+    tag = sf_dir.strip("/").replace("/", "_")
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = os.path.join(_stage_root(), "stream_dedup", f"src_{tag}_{digest}")
+    import shutil
+
+    shutil.rmtree(src, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    batches = [
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                 F.concat(F.upper("text"), F.lit("  ")).alias("text")),
+    ]
+    for b, bdf in enumerate(batches):
+        bdf.coalesce(1).write.parquet(os.path.join(src, f"b{b}"))
+    t0 = int(_time.time()) - 3600
+    for b in range(3):
+        bd = os.path.join(src, f"b{b}")
+        for fn in os.listdir(bd):
+            os.utime(os.path.join(bd, fn), (t0 + b, t0 + b))
+    _STREAM_SRC_STAGE[sf_dir] = src
+    return src
 
 
 SQL_STREAM_DEDUP = """
@@ -1371,7 +1396,7 @@ def q_token_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_exact over the payload the CDC engine ships."""
     from ..operators import tokens as tok
 
-    d = _t(spark, sf_dir, "documents")
+    d = similarity.spread_small_scan(_t(spark, sf_dir, "documents"))
     return tok.dedup_exact_tokens(
         d.select("doc_id", tok.hashed_tokens(F.col("text"), TOKEN_VOCAB).alias("tokens"))
     )
@@ -1397,7 +1422,7 @@ def q_token_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     over distinct token-trigram rolling-hash ids."""
     from ..operators import tokens as tok
 
-    d = _t(spark, sf_dir, "documents")
+    d = similarity.spread_small_scan(_t(spark, sf_dir, "documents"))
     return tok.token_ngram_contamination(
         d.filter(F.col("doc_id") % 50 != 0),
         d.filter(F.col("doc_id") % 50 == 0),
