@@ -119,7 +119,11 @@ def connected_components(
     iterations (alternating subdirectories) — required for real scale
     (bounded plan depth, spill-to-disk instead of pinned memory). When
     None, ``localCheckpoint`` truncates lineage instead (fine at test
-    scale, executor-storage-backed).
+    scale, executor-storage-backed). The FINAL staged directory of each
+    call is read lazily by the returned DataFrame, so it cannot be
+    removed here — callers own cleanup of ``scratch_dir`` once they are
+    done with the result (repeated calls otherwise accumulate one final
+    cc_* directory each; the non-final half is removed eagerly).
 
     ``max_iter`` bounds the alternating rounds; 25 covers > 10^7-node
     components (O(log n) convergence). Raises RuntimeError if the star
@@ -159,7 +163,10 @@ def connected_components(
     def _stage(df: DataFrame, i: int) -> DataFrame:
         if scratch_dir:
             path = os.path.join(scratch_dir, f"cc_{run_tag}_{i % 2}")
-            df.write.mode("overwrite").parquet(path)
+            # snappy, not the session's zstd: this is transient
+            # round-to-round scratch where encode CPU on the (largest,
+            # round-0) edge set matters and archival ratio does not
+            df.write.mode("overwrite").option("compression", "snappy").parquet(path)
             return spark.read.parquet(path)
         return df.localCheckpoint(eager=True)
 

@@ -55,9 +55,13 @@ def sample_domain_cap(
     similarity.py) runs in two bounded phases:
 
     1. groupBy(domain, salt-of-id % n_salt): each of the ``n_salt`` salt
-       groups of a domain reduces to its own top-``cap`` with map-side
-       combine — no aggregation buffer outgrows ``cap`` structs, and the
-       hot domain's rows spread over ``n_salt`` uniform keys.
+       groups of a domain reduces to its own top-``cap`` — the hot
+       domain's rows spread over ``n_salt`` uniform keys, so no single
+       reducer sees more than ~1/n_salt of a domain. (The collect_list
+       buffer within one salt group holds that group's rows before the
+       sort+slice — the salt split bounds it n_salt-fold, not at ``cap``;
+       a genuinely cap-bounded partial aggregate would need a custom
+       Aggregator.)
     2. groupBy(domain) over the ≤ n_salt·cap survivors: the final
        top-``cap`` sees ``n_salt × cap`` rows per domain, independent of
        domain size.

@@ -356,10 +356,17 @@ class CDCPipeline:
 
     def _bad_seqs_agg(self):
         if self.cfg.errors_path:
-            # capped at _BAD_SEQ_CAP longs (~800 KB) so a fully-poisoned
-            # 10^7-row batch can't move ~80 MB of offsets to the driver;
-            # overflow is detected via n_malformed (same agg row) and the
-            # quarantine write falls back to a parse-filter pass instead
+            # capped at _BAD_SEQ_CAP longs (~800 KB): the cap bounds the
+            # RETAINED result the driver keeps. On the exact-mode
+            # _batch_agg path the final aggregation also bounds what the
+            # single reduce task holds; on the observe() path each task
+            # still ships its full partial collect_list to the driver
+            # before the slice is applied, so a pathological fully-
+            # poisoned 10^7-row batch can transiently move ~80 MB of
+            # offsets — accepted because such batches are quarantine-path
+            # anomalies, and the healthy-batch cost is zero (the list is
+            # empty). Overflow is detected via n_malformed (same agg row)
+            # and the quarantine write falls back to a parse-filter pass.
             return F.slice(
                 F.collect_list(F.when(F.col("is_malformed"), F.col("seq"))),
                 1, _BAD_SEQ_CAP,

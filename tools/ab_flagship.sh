@@ -18,10 +18,15 @@ LZ4='{"spark.sql.parquet.compression.codec":"lz4","spark.io.compression.codec":"
 run() {
   local tag="$1"; shift
   echo "== $tag ==" >&2
-  local line rc
-  line=$(env "$@" BENCH_SKIP_OPERATORS=1 BENCH_WARMUP=1 BENCH_REPEATS=4 \
-        SPARK_GRAFT_CPUS=32 python bench.py 2>>"_work/ab_flagship_stderr.log" | tail -1)
+  local line rc tmp
+  # bench output goes to a temp file so rc is the bench's own exit status
+  # (a `| tail -1` pipeline would report tail's rc instead)
+  tmp=$(mktemp)
+  env "$@" BENCH_SKIP_OPERATORS=1 BENCH_WARMUP=1 BENCH_REPEATS=4 \
+        SPARK_GRAFT_CPUS=32 python bench.py >"$tmp" 2>>"_work/ab_flagship_stderr.log"
   rc=$?
+  line=$(tail -1 "$tmp")
+  rm -f "$tmp"
   if [ $rc -ne 0 ] || [ -z "$line" ]; then
     echo "!! $tag FAILED (rc=$rc) — see _work/ab_flagship_stderr.log" >&2
     printf '{"config":"%s","error":"bench failed rc=%d"}\n' "$tag" "$rc" >> "$OUT"
