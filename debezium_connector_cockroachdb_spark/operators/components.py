@@ -73,6 +73,69 @@ def _star(p: DataFrame, large: bool) -> DataFrame:
     return out.filter(F.col("u") != F.col("v")).distinct()
 
 
+def _contract_partitions(e: DataFrame) -> DataFrame:
+    """Per-partition spanning-forest contraction (mapInArrow): each task
+    runs a vectorized union-find over its own edge rows and emits only
+    (root, node) forest edges — at most ``nodes_touched - n_local_trees``
+    rows, never more than its input. Connectivity and the touched-node
+    set are preserved exactly, and the final (node, min-reachable-id)
+    mapping of :func:`connected_components` is invariant under any
+    connectivity-preserving edge rewrite, so results cannot change.
+
+    Why: the pair generators emit O(cluster_size²) edges per near-dup
+    cluster (29M rows at the 10× organic corpus), but the star rounds
+    only need connectivity. Contracting BEFORE the stage-0 parquet write
+    and the round-1 join shrinks both from O(pairs) to O(nodes) (guide
+    §2.3: decide with small rows — shuffle a proxy, not the payload;
+    §1.2: fix the distributed algorithm first). Only the two long
+    columns cross the Python boundary, as Arrow batches.
+
+    Determinism under retries (guide §2.5): a re-run task sees the same
+    partition of the same deterministic plan and the kernel is
+    deterministic, so emitted edges reproduce; and even across DIFFERENT
+    partitionings the final mapping is identical by the invariance
+    argument above. Emits root first (root < node), preserving the u < v
+    orientation contract for the oriented round-1 fast path. Rows may
+    duplicate across partitions (two tasks can derive the same forest
+    edge); the star rounds are duplicate-insensitive (min-agg + their
+    own distinct)."""
+
+    def contract(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        us, vs = [], []
+        for b in batches:
+            us.append(b.column(0).to_numpy(zero_copy_only=False))
+            vs.append(b.column(1).to_numpy(zero_copy_only=False))
+        if not us:
+            return
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        ids, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        ui, vi = inv[: len(u)], inv[len(u):]
+        parent = np.arange(len(ids))
+        # min-hook + full path compression, all vectorized; parent[x] <= x
+        # is invariant so the pointer forest is acyclic and each outer
+        # round halves tree heights -> O(log n) rounds
+        while True:
+            pu, pv = parent[ui], parent[vi]
+            if bool((pu == pv).all()):
+                break
+            np.minimum.at(parent, np.maximum(pu, pv), np.minimum(pu, pv))
+            while True:
+                pp = parent[parent]
+                if bool((pp == parent).all()):
+                    break
+                parent = pp
+        mask = parent != np.arange(len(ids))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ids[parent[mask]]), pa.array(ids[mask])], ["u", "v"]
+        )
+
+    return e.select("u", "v").mapInArrow(contract, "u long, v long")
+
+
 def _large_star_oriented(e: DataFrame) -> DataFrame:
     """First large-star half-iteration specialized for an ORIENTED edge
     list (every row has u < v — the pair generators' natural output). On
@@ -108,6 +171,7 @@ def connected_components(
     scratch_dir: str | None = None,
     edges_distinct: bool = False,
     edges_oriented: bool = False,
+    pre_contract: bool = False,
 ) -> DataFrame:
     """(node, component) for every node touched by ``edges`` — plus every
     row of ``nodes`` (optional: isolated nodes become their own singleton
@@ -141,7 +205,15 @@ def connected_components(
     ``edges_oriented``: callers that additionally guarantee src < dst on
     every row let round 1 run the specialized oriented large-star
     (:func:`_large_star_oriented` — identical output, half the join
-    volume on the round where the edge set is largest)."""
+    volume on the round where the edge set is largest).
+
+    ``pre_contract``: run :func:`_contract_partitions` before staging —
+    each input partition's edges are union-found locally and replaced by
+    their spanning forest, so the stage-0 write and every star round
+    operate on O(nodes) rows instead of O(pairs). Result-identical (see
+    the kernel's docstring); it also subsumes the defensive distinct
+    (contraction is duplicate-insensitive), so ``edges_distinct`` is
+    implied."""
     import uuid
 
     spark = edges.sparkSession
@@ -152,7 +224,9 @@ def connected_components(
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .filter(F.col("u") != F.col("v"))
     )
-    if not edges_distinct:
+    if pre_contract:
+        e = _contract_partitions(e)
+    elif not edges_distinct:
         e = e.distinct()
 
     # per-call staging token: the RETURNED DataFrame keeps reading the
@@ -193,7 +267,8 @@ def connected_components(
     converged = n0 == 0
     last = 0
     for i in range(1, max_iter + 1):
-        if i == 1 and edges_oriented:
+        # pre_contract output is oriented by construction (root < node)
+        if i == 1 and (edges_oriented or pre_contract):
             big = _large_star_oriented(e)
         else:
             big = _star(_symmetric(e), large=True)
@@ -257,6 +332,7 @@ def dedup_clusters(
     scratch_dir: str | None = None,
     edges_distinct: bool = False,
     edges_oriented: bool = False,
+    pre_contract: bool = False,
 ) -> DataFrame:
     """Cluster every document by near-duplicate connectivity:
     (doc_id, component_id, is_canonical). ``component_id`` is the min
@@ -275,6 +351,7 @@ def dedup_clusters(
         scratch_dir=scratch_dir,
         edges_distinct=edges_distinct,
         edges_oriented=edges_oriented,
+        pre_contract=pre_contract,
     )
     return comp.select(
         F.col("node").alias(id_col),

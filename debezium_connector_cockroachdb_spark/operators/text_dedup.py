@@ -224,6 +224,14 @@ def minhash_lsh_pairs(
         if scratch_dir:
             sig.write.mode("overwrite").parquet(scratch_dir)
             sig = sig.sparkSession.read.parquet(scratch_dir)
+    # a compact staged signature table scans as ONE unsplittable row
+    # group, which would run the whole band join (and everything a
+    # consumer chains after it) in a single task; round-robin spread it
+    # first — no-op at real scale (guide §2.5 input skew). Measured at
+    # the 10× organic corpus: the 9.2M-candidate band join was serial.
+    from .similarity import spread_small_scan
+
+    sig = spread_small_scan(sig)
 
     # The FULL signature rides each band-bucket row (k longs — still a
     # narrow row), so the candidate join scores est_jaccard inline and the

@@ -1737,6 +1737,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # distinct and runs the oriented round-1 large-star
         edges_distinct=True,
         edges_oriented=True,
+        # per-partition union-find spanning forest before the stage-0
+        # write: the star rounds see O(nodes) edges instead of the
+        # O(cluster²) pair volume — result-identical (connectivity- and
+        # node-set-preserving; see _contract_partitions)
+        pre_contract=True,
     )
 
 

@@ -129,6 +129,42 @@ def test_components_oriented_fast_path_matches_generic(spark, edges):
     assert got == oracle
 
 
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=edges_strategy)
+def test_components_pre_contract_matches_generic(spark, edges):
+    """pre_contract (per-partition union-find spanning forest before the
+    star rounds) must return the identical mapping as the generic path —
+    on raw UNORIENTED, possibly-duplicated edges (the kernel subsumes
+    both the distinct and the orientation contract)."""
+    oracle = _uf_components(40, edges)
+    nodes = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long"
+    ) if edges else spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in components.connected_components(
+            pairs, nodes=nodes, node_col="doc_id", pre_contract=True
+        ).collect()
+    }
+    assert got == oracle
+
+
+def test_components_pre_contract_cross_partition(spark, tmp_path):
+    """A 300-node path split over many partitions: every local forest is
+    partial, so the star rounds must still merge across partition
+    boundaries; scratch staging composes with pre_contract."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], "id_a long, id_b long"
+    ).repartition(16)
+    out = components.connected_components(
+        pairs, pre_contract=True, scratch_dir=str(tmp_path / "cc")
+    ).collect()
+    assert len(out) == 300
+    assert {r["component"] for r in out} == {0}
+
+
 def test_components_oriented_path_graph(spark):
     """The oriented fast path on the diameter-pathological path graph:
     same O(log n) convergence and single root as the generic path."""
