@@ -131,33 +131,48 @@ def ngram_jaccard_pairs(
         if scratch_dir:
             sh.write.mode("overwrite").parquet(scratch_dir)
             sh = df.sparkSession.read.parquet(scratch_dir)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
 
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle")
 
-    a = rare.select(F.col(id_col).alias("id_a"), "shingle")
-    b = rare.select(F.col(id_col).alias("id_b"), "shingle")
+    # Candidate pairs from ONE pass over the rare rows: group each rare
+    # shingle's (≤ max_df, so the collect_list buffer is cap-bounded by
+    # construction — the df filter ran first) doc ids and expand ordered
+    # pairs in place. The previous self-join form evaluated the whole
+    # df_counts+filter chain once per join side — the dominant cost of
+    # this operator at the 10× organic corpus (measured ~5 s of 14.6 s) —
+    # and shipped one row per (pair, shared shingle) into the distinct.
     cand = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        rare.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
+        .select(F.explode("_ids").alias("id_a"), "_ids")
+        .select(
+            "id_a",
+            F.explode(F.filter("_ids", lambda y: y > F.col("id_a"))).alias("id_b"),
+        )
         .distinct()
     )
     # exact intersection per candidate pair over ALL shingles (incl. the
     # ubiquitous ones excluded from candidate generation — ADVICE fix: the
-    # blocked join alone systematically underestimates jaccard)
-    inter = (
-        cand.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    # blocked join alone systematically underestimates jaccard). Computed
+    # against the per-doc shingle ARRAYS (distinct by construction —
+    # shingle_table explodes an array_distinct), so each candidate costs
+    # one native array_intersect instead of fanning |pairs|·|doc shingles|
+    # rows into a string-keyed shuffle join (guide §3.3: join on the
+    # un-exploded key; measured 19M fan-out rows → 93k array ops).
+    doc_sets = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("_set"))
+    sa = doc_sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_sa"))
+    sb = doc_sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_sb"))
     out = (
-        inter.join(sa, "id_a")
+        cand.join(sa, "id_a")
         .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("n_inter"),
+            F.size("_sa").cast("long").alias("size_a"),
+            F.size("_sb").cast("long").alias("size_b"),
+        )
         .withColumn(
             "jaccard",
             F.round(
