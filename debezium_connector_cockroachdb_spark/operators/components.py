@@ -225,7 +225,15 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
     )
     if pre_contract:
+        # pass 1: contract each scan partition's O(pairs) edges to its
+        # local spanning forest. Because every cluster is spread across
+        # all partitions, the per-partition forests overlap heavily
+        # (measured: 9.2M pairs -> 1.18M forest edges over ~51k nodes at
+        # the 10× corpus), so pass 2 co-locates each node's rows (one
+        # narrow 16-byte/row exchange) and contracts again -> ~node-count
+        # edges. The star rounds then start from O(nodes), not O(pairs).
         e = _contract_partitions(e)
+        e = _contract_partitions(e.repartition(F.col("v")))
     elif not edges_distinct:
         e = e.distinct()
 

@@ -1895,6 +1895,29 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim FROM ranked WHE
 
 
 _PQ_CODEBOOK = os.path.join(_WORK, "pq_codebook")
+
+# shared PQ-codebook staging (same contract and rationale as the shingle /
+# signature staging): pq_train is deterministic in (corpus, m, ksub,
+# n_vectors), and BOTH PQ gates train the identical codebook, so training
+# once per (process, sf_dir) replaces a per-call Lloyd re-run — the very
+# split the round-5 review asked for ("stage the codebook once per bench
+# run"; the rows previously measured training variance, not retrieval).
+# Process-local keying keeps it stale-proof; the parquet staging each
+# query writes for its oracle is unchanged (and byte-identical per run).
+_PQ_CB_STAGE: dict[tuple[str, int, int], tuple[int, list]] = {}
+
+
+def _staged_pq_codebook(spark: SparkSession, sf_dir: str, m: int, ksub: int):
+    key = (sf_dir, m, ksub)
+    hit = _PQ_CB_STAGE.get(key)
+    if hit is None:
+        from ..operators import pq
+
+        emb = _t(spark, sf_dir, "embeddings")
+        n_emb = emb.count()
+        hit = (n_emb, pq.pq_train(emb, m=m, ksub=ksub, n_vectors=n_emb))
+        _PQ_CB_STAGE[key] = hit
+    return hit
 PQ_M = 4
 PQ_KSUB = 16
 
@@ -1910,11 +1933,10 @@ def q_ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    # one count serves both the staging marker and the train seeding
-    # (threading the known count keeps training from re-scanning; the
-    # manifest/catalog supplies it in a real deployment)
-    n_emb = emb.count()
-    codebook = pq.pq_train(emb, m=PQ_M, ksub=PQ_KSUB, n_vectors=n_emb)
+    # count + codebook come from the per-process staging (the count also
+    # serves the oracle's staleness marker; the manifest/catalog supplies
+    # it in a real deployment)
+    n_emb, codebook = _staged_pq_codebook(spark, sf_dir, PQ_M, PQ_KSUB)
 
     import pyarrow as pa
     import pyarrow.parquet as pq_pa
@@ -2033,8 +2055,9 @@ def q_ann_cosine_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    n_emb = emb.count()
-    codebook = pq.pq_train(emb, m=PQ_M, ksub=PQ_KSUB, n_vectors=n_emb)
+    # identical (m, ksub) params as the plain PQ gate -> one shared
+    # trained codebook per process (see _staged_pq_codebook)
+    n_emb, codebook = _staged_pq_codebook(spark, sf_dir, PQ_M, PQ_KSUB)
 
     import pyarrow as pa
     import pyarrow.parquet as pq_pa
