@@ -160,12 +160,33 @@ def ngram_jaccard_pairs(
     # one native array_intersect instead of fanning |pairs|·|doc shingles|
     # rows into a string-keyed shuffle join (guide §3.3: join on the
     # un-exploded key; measured 19M fan-out rows → 93k array ops).
+    # One structural evaluation of the per-doc array aggregate: joining
+    # doc_sets once per pair side re-ran the 10M-row collect_list shuffle
+    # TWICE and broadcast one copy arrays-and-all (observed plan: two
+    # ObjectHashAggregate+Exchange subtrees). Instead the (small) pair
+    # set is exploded into role-tagged probe rows and BROADCAST against a
+    # single streamed doc_sets pass; each pair then gathers its two
+    # arrays through one bounded exchange (2 rows/group).
     doc_sets = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("_set"))
-    sa = doc_sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_sa"))
-    sb = doc_sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_sb"))
+    cand_ids = cand.select(
+        "id_a",
+        "id_b",
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("_id"), F.lit(0).alias("_r")),
+                F.struct(F.col("id_b").alias("_id"), F.lit(1).alias("_r")),
+            )
+        ).alias("_e"),
+    ).select("id_a", "id_b", F.col("_e._id").alias("_id"), F.col("_e._r").alias("_r"))
+    j = doc_sets.join(F.broadcast(cand_ids), F.col(id_col) == F.col("_id"))
     out = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        j.groupBy("id_a", "id_b")
+        .agg(
+            # exactly one non-null array per role per group -> max is a
+            # pick, not an order-dependent choice
+            F.max(F.when(F.col("_r") == 0, F.col("_set"))).alias("_sa"),
+            F.max(F.when(F.col("_r") == 1, F.col("_set"))).alias("_sb"),
+        )
         .select(
             "id_a",
             "id_b",
