@@ -54,10 +54,27 @@ def main() -> None:
     # level measures the ENGINE's scaling, not the neighbors'. All repeats
     # are reported alongside the chosen pair.
     repeats = int(os.environ.get("SCALE_REPEATS", "1"))
+
+    def probe() -> dict:
+        # host-regime calibration reading (round-5 verdict item 1): a
+        # window is only adjudicable against its regime; readings are
+        # appended verbatim to the ledger entry
+        p = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "regime_probe.py")],
+            capture_output=True, text=True, timeout=300,
+        )
+        try:
+            return json.loads(p.stdout.strip().splitlines()[-1])
+        except Exception:
+            return {"error": p.stdout[-200:]}
+
+    probes = [probe()]
     runs_n, runs_4n = [], []
     for _ in range(repeats):
         runs_n.append(run_at(N))
+        probes.append(probe())
         runs_4n.append(run_at(N4))
+        probes.append(probe())
     r_n = max(runs_n, key=lambda r: r["cdc"]["events_per_sec"])
     r_4n = max(runs_4n, key=lambda r: r["cdc"]["events_per_sec"])
     tp_n = r_n["cdc"]["events_per_sec"]
@@ -86,6 +103,7 @@ def main() -> None:
             f"- config: {mode} merge, 64 buckets, shuffle.partitions=cores, "
             f"AQE on, warmed steady state, tmpfs scratch\n"
             f"- repeats per level: {repeats} (best-of; all ev/s: {json.dumps(all_tps)})\n"
+            f"- regime probes (before / between / after each level): `{json.dumps(probes)}`\n"
             f"- full JSON N: `{json.dumps(r_n)}`\n"
             f"- full JSON 4N: `{json.dumps(r_4n)}`\n"
         )
