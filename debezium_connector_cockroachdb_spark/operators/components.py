@@ -242,16 +242,6 @@ def connected_components(
     # alternating paths would silently corrupt a still-unconsumed result
     run_tag = uuid.uuid4().hex[:8]
 
-    def _stage(df: DataFrame, i: int) -> DataFrame:
-        if scratch_dir:
-            path = os.path.join(scratch_dir, f"cc_{run_tag}_{i % 2}")
-            # snappy, not the session's zstd: this is transient
-            # round-to-round scratch where encode CPU on the (largest,
-            # round-0) edge set matters and archival ratio does not
-            df.write.mode("overwrite").option("compression", "snappy").parquet(path)
-            return spark.read.parquet(path)
-        return df.localCheckpoint(eager=True)
-
     def _sig(df: DataFrame):
         # constant-size fixed-point signature; a (astronomically unlikely)
         # collision is caught by the star test below, never returned
@@ -263,15 +253,59 @@ def connected_components(
         ).collect()[0]
         return row["n"], row["h"]
 
-    e = _stage(e, 0)
+    def _stage(df: DataFrame, i: int, with_sig: bool = False):
+        """Stage the round's edge set; when ``with_sig``, the fixed-point
+        signature RIDES the staging write via ``observe`` (the same
+        rider pattern as the CDC pipeline's batch stats) instead of
+        costing a separate per-round aggregation job. Fallback: a
+        degenerate plan (e.g. a zero-row write under AQE) can complete
+        without materializing the observe node — recompute from the
+        staged parquet, which holds the identical rows."""
+        sig = None
+        if scratch_dir:
+            path = os.path.join(scratch_dir, f"cc_{run_tag}_{i % 2}")
+            if with_sig:
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                df = df.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+                )
+            # snappy, not the session's zstd: this is transient
+            # round-to-round scratch where encode CPU on the (largest,
+            # round-0) edge set matters and archival ratio does not
+            df.write.mode("overwrite").option("compression", "snappy").parquet(path)
+            staged = spark.read.parquet(path)
+            if with_sig:
+                try:
+                    m = obs.get
+                    sig = (m["n"], m["h"])
+                except Exception:
+                    sig = _sig(staged)
+            return staged, sig
+        staged = df.localCheckpoint(eager=True)
+        # localCheckpoint's materialization isn't a DataFrame action, so
+        # the observe rider isn't guaranteed there; compute directly
+        # (test-scale path)
+        if with_sig:
+            sig = _sig(staged)
+        return staged, sig
+
+    e, sig0 = _stage(e, 0, with_sig=True)
     # round-1 convergence checking needs only the COUNT of the staged
     # input (emptiness short-circuit); the hash half of the signature is
-    # first needed when comparing round 2 against round 1, so the full
-    # count+hash scan over the (largest) initial edge set is skipped —
-    # at sf1.0 that was a 29M-row xxhash+decimal-sum pass. An
-    # already-star input converges one (cheap) round later, identically.
-    n0 = e.count()
-    prev = (n0, None)
+    # first needed when comparing round 2 against round 1 — but since the
+    # signature now rides the staging write for free, both halves are
+    # collected here (the separate 29M-row scan this comment previously
+    # guarded against no longer exists on any path).
+    n0 = sig0[0]
+    # seeding prev with the full round-0 signature lets an already-star
+    # input converge after ONE round (sig equal -> star test proves it);
+    # a multiset round-0 input hashes differently from its distinct'd
+    # round-1 output, so it converges exactly as before
+    prev = sig0
     converged = n0 == 0
     last = 0
     for i in range(1, max_iter + 1):
@@ -280,10 +314,8 @@ def connected_components(
             big = _large_star_oriented(e)
         else:
             big = _star(_symmetric(e), large=True)
-        e = _star(_symmetric(big), large=False)
-        e = _stage(e, i)
+        e, cur = _stage(_star(_symmetric(big), large=False), i, with_sig=True)
         last = i
-        cur = _sig(e)
         if cur == prev:
             # signature says fixed point — PROVE star-shape: no edge
             # target may have an outgoing edge (targets are roots)
